@@ -19,7 +19,9 @@ def main(argv=None) -> int:
     p.add_argument("det_file", help="input det_proto")
     p.add_argument("output", help="output det_proto")
     p.add_argument("--thresh", type=float, default=0.3, help="IoU threshold")
-    p.add_argument("--backend", choices=["host", "xla"], default="host")
+    p.add_argument(
+        "--backend", choices=["host", "xla", "fixpoint", "pallas"], default="host"
+    )
     p.add_argument("--max_boxes", type=int, default=512, help="xla padding budget")
     p.add_argument("--overwrite", action="store_true")
     args = p.parse_args(argv)

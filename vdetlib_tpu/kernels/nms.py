@@ -74,6 +74,62 @@ def nms_xla(
 
 
 @partial(jax.jit, static_argnames=("offset",))
+def nms_fixpoint(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    thresh: jax.Array | float,
+    offset: float = LEGACY_OFFSET,
+) -> jax.Array:
+    """Greedy NMS via Jacobi fixpoint iteration — the MXU formulation.
+
+    The greedy recursion ``keep[i] = valid[i] ∧ ¬∃ j<i: M[i,j] ∧ keep[j]``
+    (M = IoU>thresh in visit order, strictly lower-triangular) has a unique
+    solution — the greedy keep set. Jacobi iteration ``keep ← valid ∧
+    ¬(M·keep > 0)`` converges to it in D steps, where D is the depth of the
+    suppression DAG (typically < 10), and each step is one batched
+    matrix-vector product that XLA maps onto the MXU — versus N sequential
+    VPU steps for the masked-greedy loop. Exact keep-set parity with the
+    oracle, including tie-breaks (ties are resolved by the stable sort).
+
+    Args/returns: same as :func:`nms_xla` but keep mask only.
+    """
+    n = boxes.shape[-2]
+    order = sort_by_score(scores, valid)
+    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=-2)
+    svalid = jnp.take_along_axis(valid, order, axis=-1)
+    iou = pairwise_iou(sboxes, sboxes, offset=offset)
+    idx = jnp.arange(n)
+    lower = idx[:, None] > idx[None, :]  # row i suppressed by earlier col j
+    m = ((iou > thresh) & lower & svalid[..., None, :]).astype(jnp.float32)
+    svalid_f = svalid.astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < n)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (
+            jnp.einsum("...ij,...j->...i", m, keep, preferred_element_type=jnp.float32)
+            > 0.5
+        )
+        new_keep = svalid_f * (1.0 - suppressed.astype(jnp.float32))
+        return new_keep, keep, it + 1
+
+    keep0 = svalid_f
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.full_like(keep0, -1.0), jnp.int32(0))
+    )
+    keep_sorted = keep_sorted > 0.5
+    # Scatter from visit order back to original positions.
+    scatter = lambda o, k: jnp.zeros((n,), bool).at[o].set(k)
+    for _ in range(order.ndim - 1):
+        scatter = jax.vmap(scatter)
+    return scatter(order, keep_sorted)
+
+
+@partial(jax.jit, static_argnames=("offset",))
 def batched_nms(
     boxes: jax.Array,
     scores: jax.Array,

@@ -36,8 +36,10 @@ def frame_nms(
     """Apply per-frame per-class NMS; returns a filtered det_proto."""
     if backend == "host":
         return _frame_nms_host(vid_proto, det_proto, thresh, offset)
-    if backend == "xla":
-        return _frame_nms_xla(vid_proto, det_proto, thresh, offset, max_boxes)
+    if backend in ("xla", "fixpoint", "pallas"):
+        return _frame_nms_device(
+            vid_proto, det_proto, thresh, offset, max_boxes, backend
+        )
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -78,7 +80,8 @@ def _frame_nms_host(vid_proto, det_proto, thresh, offset) -> dict:
     return _filter_det_proto(det_proto, kept_pairs)
 
 
-def _frame_nms_xla(vid_proto, det_proto, thresh, offset, max_boxes) -> dict:
+def _frame_nms_device(vid_proto, det_proto, thresh, offset, max_boxes, backend) -> dict:
+    import jax
     import jax.numpy as jnp
 
     by_frame = _collect(det_proto)
@@ -101,9 +104,33 @@ def _frame_nms_xla(vid_proto, det_proto, thresh, offset, max_boxes) -> dict:
                     scores[t, c, n] = float(s["score"])
                     has_entry[t, c, n] = True
     boxes_tc = jnp.broadcast_to(jnp.asarray(boxes)[:, None], (T, C, N, 4))
-    keep = batched_nms(
-        boxes_tc, jnp.asarray(scores), jnp.asarray(has_entry), thresh, offset=offset
-    )
+    if backend == "fixpoint":
+        from vdetlib_tpu.kernels.nms import nms_fixpoint
+
+        keep = nms_fixpoint(
+            boxes_tc.reshape(T * C, N, 4),
+            jnp.asarray(scores).reshape(T * C, N),
+            jnp.asarray(has_entry).reshape(T * C, N),
+            thresh,
+            offset=offset,
+        ).reshape(T, C, N)
+    elif backend == "pallas":
+        from vdetlib_tpu.kernels.nms_pallas import batched_nms_pallas
+
+        # Compiled Mosaic kernels need a real TPU; interpret elsewhere.
+        interpret = jax.default_backend() == "cpu"
+        keep = batched_nms_pallas(
+            boxes_tc,
+            jnp.asarray(scores),
+            jnp.asarray(has_entry),
+            thresh,
+            offset=offset,
+            interpret=interpret,
+        )
+    else:
+        keep = batched_nms(
+            boxes_tc, jnp.asarray(scores), jnp.asarray(has_entry), thresh, offset=offset
+        )
     keep = np.asarray(keep) & has_entry
     kept_pairs: set[tuple[int, int]] = set()
     for t in range(T):
