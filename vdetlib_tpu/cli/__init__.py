@@ -14,6 +14,7 @@ TOOLS = {
     "gen_vid_proto": "vdetlib_tpu.cli.gen_vid_proto",
     "frame_nms": "vdetlib_tpu.cli.frame_nms",
     "detect": "vdetlib_tpu.cli.detect",
+    "train_detector": "vdetlib_tpu.cli.train_detector",
     "mgp": "vdetlib_tpu.cli.mgp",
     "track": "vdetlib_tpu.cli.track",
     "rescore": "vdetlib_tpu.cli.rescore",

@@ -1,0 +1,149 @@
+"""Frame-wise detection stage — det_vid, TPU-native.
+
+Reference parity: ``vdetlib/vid/detect.py::det_vid`` (SURVEY.md §3.1): for
+each frame, score its proposals with the CNN, apply bbox-regression deltas,
+assemble a det_proto. The reference's nested Python loops (frames ×
+proposal-minibatches through pycaffe) become one jitted program per frame
+batch: backbone → ROI-align → head → softmax → per-class delta apply → clip,
+all device-resident; the host only decodes JPEGs (threaded) and pads
+proposals.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdetlib_tpu.data.loader import FrameLoader
+from vdetlib_tpu.geometry.boxes import apply_deltas, clip_boxes
+from vdetlib_tpu.nn.detector import Detector, DetectorConfig, preprocess_images
+from vdetlib_tpu.protos.accessors import boxes_at_frame
+from vdetlib_tpu.utils.log import StageMetrics, get_logger
+
+
+@dataclass(frozen=True)
+class DetectOptions:
+    batch_size: int = 8
+    max_rois: int = 128
+    image_hw: tuple = (240, 320)  # static network input (H, W)
+    score_thresh: float = 0.005  # drop per-class entries below this
+    regress: bool = True  # apply per-class bbox regression
+    class_names: Optional[tuple] = None
+
+
+@functools.partial(jax.jit, static_argnames=("model", "regress"))
+def _detect_step(model: Detector, params, images_u8, rois, regress: bool):
+    """One device step: (B,H,W,3) u8 + (B,R,4) rois → probs (B,R,K), boxes (B,R,K,4)."""
+    images = preprocess_images(images_u8, model.config)
+    scores, deltas = model.apply(params, images, rois, train=False)
+    probs = jax.nn.softmax(scores, axis=-1)  # (B, R, K)
+    H, W = images_u8.shape[1:3]
+    if regress:
+        boxes = apply_deltas(rois[:, :, None, :], deltas)  # (B, R, K, 4)
+    else:
+        boxes = jnp.broadcast_to(rois[:, :, None, :], deltas.shape)
+    boxes = clip_boxes(boxes, H, W)
+    return probs, boxes
+
+
+def detect_arrays(model, params, frames_u8, rois, roi_mask, opts: DetectOptions):
+    """In-memory detection over (T, H, W, 3) frames.
+
+    Args:
+      frames_u8: (T, H, W, 3) uint8 at the network size.
+      rois: (T, R, 4) padded proposals in network pixel space.
+      roi_mask: (T, R) bool.
+    Returns:
+      probs (T, R, K) and boxes (T, R, K, 4) numpy arrays.
+    """
+    T = frames_u8.shape[0]
+    B = opts.batch_size
+    probs_out, boxes_out = [], []
+    for start in range(0, T, B):
+        idx = np.arange(start, min(start + B, T))
+        pad = B - len(idx)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        p, b = _detect_step(
+            model,
+            params,
+            jnp.asarray(frames_u8[sel]),
+            jnp.asarray(rois[sel]),
+            opts.regress,
+        )
+        probs_out.append(np.asarray(p[: len(idx)]))
+        boxes_out.append(np.asarray(b[: len(idx)]))
+    probs = np.concatenate(probs_out, axis=0)
+    boxes = np.concatenate(boxes_out, axis=0)
+    probs = probs * roi_mask[..., None]
+    return probs, boxes
+
+
+def det_vid(
+    model,
+    params,
+    vid_proto: dict,
+    box_proto: dict,
+    opts: DetectOptions = DetectOptions(),
+) -> dict:
+    """Full detection stage: vid_proto + box_proto → det_proto.
+
+    Emits one detection entry per (proposal, class) whose softmax probability
+    clears ``score_thresh``, carrying that class's regressed box (pixel space
+    of the ORIGINAL frames — network-space boxes are scaled back).
+    """
+    metrics = StageMetrics("detect")
+    loader = FrameLoader(vid_proto, target_hw=opts.image_hw)
+    R = opts.max_rois
+    K = model.config.num_classes
+    detections = []
+    n_frames = 0
+    for fids, images, scales in loader.iter_batches(opts.batch_size):
+        B = images.shape[0]
+        rois = np.zeros((B, R, 4), dtype=np.float32)
+        mask = np.zeros((B, R), dtype=bool)
+        for bi, fid in enumerate(fids):
+            sy, sx = scales[bi]
+            props = boxes_at_frame(box_proto, fid)[:R]
+            for ri, bb in enumerate(props):
+                rois[bi, ri] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
+                mask[bi, ri] = True
+        probs, boxes = _detect_step(
+            model, params, jnp.asarray(images), jnp.asarray(rois), opts.regress
+        )
+        probs = np.asarray(probs)
+        boxes = np.asarray(boxes)
+        for bi, fid in enumerate(fids):
+            sy, sx = scales[bi]
+            inv = np.array([1 / sx, 1 / sy, 1 / sx, 1 / sy], dtype=np.float32)
+            for ri in range(R):
+                if not mask[bi, ri]:
+                    continue
+                for ci in range(1, K):
+                    sc = float(probs[bi, ri, ci])
+                    if sc < opts.score_thresh:
+                        continue
+                    name = (
+                        opts.class_names[ci]
+                        if opts.class_names is not None
+                        else str(ci)
+                    )
+                    detections.append(
+                        {
+                            "frame": int(fid),
+                            "bbox": [float(v) for v in boxes[bi, ri, ci] * inv],
+                            "scores": [
+                                {"class": name, "class_index": ci, "score": sc}
+                            ],
+                        }
+                    )
+        n_frames += len(fids)
+    loader.close()
+    metrics.set("frames", n_frames)
+    metrics.set("dets_out", len(detections))
+    metrics.finish()
+    return {"video": vid_proto["video"], "detections": detections}

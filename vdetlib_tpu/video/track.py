@@ -1,0 +1,283 @@
+"""Tubelet proposal: greedy anchor selection + batched correlation tracking.
+
+Reference parity: ``vdetlib/vid/track.py::track_from_det`` + ``fcn_tracker``
+(SURVEY.md §3.2). The reference looped: pick the highest-scoring uncovered
+detection as anchor → run the tracker frame-by-frame forward and backward →
+suppress covered detections → repeat.
+
+TPU design:
+- Dense tracker features are computed ONCE for all frames (batched conv) and
+  shared by every anchor.
+- A whole batch of anchors is tracked simultaneously: the per-frame
+  sequential dependency (box_t depends on box_{t-1}) is a single
+  ``lax.scan`` over the frame axis, ``vmap``-ped over anchors. Both temporal
+  directions run as scans (backward = scan over reversed features).
+- Anchors start mid-video: the forward scan carries a dead/alive flag that
+  flips on at each anchor's frame, so one static-shape program serves any
+  anchor frame (no dynamic slicing on T).
+- Greedy selection runs on host in ROUNDS: each round picks up to A mutually
+  non-overlapping top-score uncovered detections, tracks them in ONE device
+  call, then suppresses. This preserves the reference's greedy semantics at
+  round granularity while keeping the device busy with batched work.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdetlib_tpu.data.loader import FrameLoader
+from vdetlib_tpu.nn.tracker_net import (
+    TrackerConfig,
+    TrackerNet,
+    correlate,
+    extract_template,
+    search_window,
+    soft_argmax_2d,
+)
+from vdetlib_tpu.nn.heads import roi_align
+from vdetlib_tpu.protos.accessors import tracks_proto_from_boxes
+from vdetlib_tpu.utils.common import iou as np_iou
+from vdetlib_tpu.utils.log import StageMetrics
+
+
+@dataclass(frozen=True)
+class TrackOptions:
+    max_tracks: int = 32
+    anchors_per_round: int = 8
+    anchor_thresh: float = 0.3  # min det score to seed a track
+    conf_thresh: float = 0.5  # tracker termination confidence
+    cover_thresh: float = 0.5  # det covered if IoU with a track box exceeds this
+    batch_size: int = 16  # frames per feature-extraction batch
+    image_hw: Optional[tuple] = None  # None = native frame size
+
+
+def init_tracker(cfg: TrackerConfig = TrackerConfig(), image_hw=(240, 320), seed: int = 0):
+    model = TrackerNet(cfg)
+    H, W = image_hw
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3), jnp.float32)
+    )
+    return model, params
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def tracker_features(model: TrackerNet, params, frames_u8):
+    """(B, H, W, 3) uint8 → (B, h, w, C) dense tracker features."""
+    x = frames_u8.astype(jnp.float32) / 255.0 - 0.5
+    return model.apply(params, x)
+
+
+def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse):
+    """Scan over the full frame axis for one anchor, one direction.
+
+    Args:
+      feats: (T, h, w, C) tracker features.
+      anchor_t: scalar int frame index of the anchor.
+      anchor_box: (4,) pixel box at the anchor frame.
+      template: (P, P, C) normalized template features.
+    Returns:
+      boxes (T, 4), conf (T,), alive (T,) — entries before/at the anchor (in
+      scan direction) are dead.
+    """
+    T = feats.shape[0]
+    ts = jnp.arange(T)
+    if reverse:
+        feats = feats[::-1]
+        ts = ts[::-1]
+    Q = cfg.search_pool
+    P = cfg.template_pool
+    R = Q - P + 1
+
+    def step(carry, inp):
+        feat_t, t = inp
+        box, alive = carry
+        started = t == anchor_t
+        box = jnp.where(started, anchor_box, box)
+        alive = jnp.logical_or(alive, started)
+        win = search_window(box, cfg.search_factor)
+        sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
+        resp = correlate(template, sfeat)  # (R, R)
+        py, px, peak = soft_argmax_2d(resp)
+        # displacement of the response peak from the window center, in bins;
+        # bin size = window extent / Q pixels.
+        wx = (win[2] - win[0]) / Q
+        wy = (win[3] - win[1]) / Q
+        dx = (px - (R - 1) / 2.0) * wx
+        dy = (py - (R - 1) / 2.0) * wy
+        new_box = box + jnp.stack([dx, dy, dx, dy])
+        track_now = alive & (t != anchor_t)
+        ok = peak > conf_thresh
+        new_alive = jnp.where(track_now, alive & ok, alive)
+        new_box = jnp.where(track_now & ok, new_box, box)
+        conf_out = jnp.where(started, 1.0, peak)
+        emit_alive = jnp.where(started, True, new_alive)
+        return (new_box, new_alive), (new_box, conf_out, emit_alive)
+
+    init = (jnp.zeros(4, jnp.float32), jnp.asarray(False))
+    _, (boxes, conf, alive) = jax.lax.scan(step, init, (feats, ts))
+    if reverse:
+        boxes, conf, alive = boxes[::-1], conf[::-1], alive[::-1]
+    return boxes, conf, alive
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "conf_thresh"))
+def track_batch(
+    model: TrackerNet,
+    cfg: TrackerConfig,
+    feats,
+    anchor_ts,
+    anchor_boxes,
+    conf_thresh: float,
+):
+    """Track A anchors forward+backward over (T, h, w, C) features.
+
+    Returns boxes (A, T, 4), conf (A, T), alive (A, T); the anchor frame is
+    alive with conf 1.0; dead frames carry the last live box (masked out).
+    """
+
+    def one(anchor_t, anchor_box):
+        anchor_feat = feats[anchor_t]  # dynamic gather on T
+        template = extract_template(anchor_feat, anchor_box, cfg)
+        fb, fc, fa = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse=False
+        )
+        bb, bc, ba = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse=True
+        )
+        t_idx = jnp.arange(feats.shape[0])
+        use_f = t_idx >= anchor_t
+        boxes = jnp.where(use_f[:, None], fb, bb)
+        conf = jnp.where(use_f, fc, bc)
+        alive = jnp.where(use_f, fa, ba)
+        return boxes, conf, alive
+
+    return jax.vmap(one)(anchor_ts, anchor_boxes)
+
+
+def _candidate_dets(det_proto, frame_index, min_score):
+    """Flatten det_proto → (frames_idx[N], boxes[N,4], scores[N]) numpy."""
+    fr, bx, sc = [], [], []
+    for d in det_proto["detections"]:
+        t = frame_index.get(int(d["frame"]))
+        if t is None:
+            continue
+        best = max((float(s["score"]) for s in d["scores"]), default=0.0)
+        if best < min_score:
+            continue
+        fr.append(t)
+        bx.append(d["bbox"])
+        sc.append(best)
+    if not fr:
+        return np.zeros(0, int), np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+    return np.asarray(fr), np.asarray(bx, np.float32), np.asarray(sc, np.float32)
+
+
+def track_from_det(
+    model,
+    params,
+    vid_proto: dict,
+    det_proto: dict,
+    cfg: TrackerConfig = TrackerConfig(),
+    opts: TrackOptions = TrackOptions(),
+    frames_u8: Optional[np.ndarray] = None,
+) -> dict:
+    """Full tubelet-proposal stage: vid_proto + det_proto → track_proto."""
+    metrics = StageMetrics("track")
+    frame_ids = [f["frame"] for f in vid_proto["frames"]]
+    frame_index = {f: i for i, f in enumerate(frame_ids)}
+    T = len(frame_ids)
+
+    # --- frame features (device, batched once) ---
+    if frames_u8 is None:
+        loader = FrameLoader(vid_proto, target_hw=opts.image_hw)
+        frames_u8 = np.stack([img for _, img, _ in loader.iter_frames()])
+        loader.close()
+    feats_list = []
+    B = opts.batch_size
+    for s in range(0, T, B):
+        chunk = frames_u8[s : s + B]
+        pad = B - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        f = tracker_features(model, params, jnp.asarray(chunk))
+        feats_list.append(np.asarray(f[: B - pad if pad else B]))
+    feats = jnp.asarray(np.concatenate(feats_list, axis=0))
+
+    # --- greedy anchor rounds (host) ---
+    cand_t, cand_boxes, cand_scores = _candidate_dets(
+        det_proto, frame_index, opts.anchor_thresh
+    )
+    covered = np.zeros(len(cand_t), dtype=bool)
+    all_boxes, all_conf, all_alive, all_anchor = [], [], [], []
+    while len(all_boxes) < opts.max_tracks and not covered.all():
+        # pick up to A mutually non-overlapping top candidates
+        order = np.argsort(-cand_scores, kind="stable")
+        picked = []
+        for i in order:
+            if covered[i]:
+                continue
+            clash = False
+            for j in picked:
+                if cand_t[j] == cand_t[i] and np_iou(
+                    cand_boxes[i : i + 1], cand_boxes[j : j + 1]
+                )[0, 0] > opts.cover_thresh:
+                    clash = True
+                    break
+            if not clash:
+                picked.append(int(i))
+            if len(picked) == min(
+                opts.anchors_per_round, opts.max_tracks - len(all_boxes)
+            ):
+                break
+        if not picked:
+            break
+        A = opts.anchors_per_round
+        sel = (picked + [picked[-1]] * A)[:A]  # pad to static A
+        boxes, conf, alive = track_batch(
+            model,
+            cfg,
+            feats,
+            jnp.asarray(np.asarray(cand_t)[sel]),
+            jnp.asarray(cand_boxes[sel]),
+            opts.conf_thresh,
+        )
+        boxes, conf, alive = np.asarray(boxes), np.asarray(conf), np.asarray(alive)
+        for k, i in enumerate(picked):
+            all_boxes.append(boxes[k])
+            all_conf.append(conf[k])
+            all_alive.append(alive[k])
+            all_anchor.append(int(frame_ids[cand_t[i]]))
+            covered[i] = True
+            # suppress candidates covered by this track
+            for t in range(T):
+                if not alive[k, t]:
+                    continue
+                same_t = cand_t == t
+                if not same_t.any():
+                    continue
+                m = np_iou(boxes[k, t : t + 1], cand_boxes[same_t])[0]
+                idx = np.nonzero(same_t)[0][m > opts.cover_thresh]
+                covered[idx] = True
+
+    per_track = []
+    for boxes, conf, alive in zip(all_boxes, all_conf, all_alive):
+        per_track.append(
+            [
+                (frame_ids[t], boxes[t], float(conf[t]))
+                for t in range(T)
+                if alive[t]
+            ]
+        )
+    proto = tracks_proto_from_boxes(
+        per_track, vid_proto["video"], method="correlation_tracker", anchors=all_anchor
+    )
+    metrics.set("frames", T)
+    metrics.set("tracks", len(proto["tracks"]))
+    metrics.finish()
+    return proto
