@@ -7,7 +7,6 @@ validates via __graft_entry__.dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+# The axon TPU terminal's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter boot (ignoring the JAX_PLATFORMS env var), which would run the
+# whole suite against the single remote TPU with remote AOT compiles. Override
+# at the config level BEFORE any backend initializes: tests run on the local
+# CPU with 8 forced host devices (SURVEY.md §4 "multi-chip without a cluster").
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,119 @@
+"""Full-pipeline tests (config 5): staged run, resume, mAP sanity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vdetlib_tpu.data.synth import (
+    SynthConfig,
+    annot_proto,
+    box_proto,
+    make_video,
+    write_frames,
+)
+from vdetlib_tpu.evaluation.vid_map import vid_map
+from vdetlib_tpu.nn.detector import init_detector
+from vdetlib_tpu.nn.presets import detector_preset
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.pipeline.runner import Models, PipelineConfig, run_video, run_videos
+from vdetlib_tpu.protos import proto_dump, proto_load
+from vdetlib_tpu.video.detect import DetectOptions
+from vdetlib_tpu.video.link import LinkOptions
+from vdetlib_tpu.video.mgp import MGPOptions
+from vdetlib_tpu.video.rescore import RescoreOptions
+from vdetlib_tpu.video.track import TrackOptions, init_tracker
+
+HW = (96, 128)
+R = 16
+C = 4
+
+
+@pytest.fixture(scope="module")
+def models():
+    det_cfg = detector_preset("tiny", num_classes=C)
+    det_model, det_params = init_detector(det_cfg, HW, max_rois=R, seed=0)
+    trk_cfg = TrackerConfig()
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=HW, seed=0)
+    return Models(det_model, det_params, trk_model, trk_params), trk_cfg
+
+
+@pytest.fixture(scope="module")
+def cfg(models):
+    _, trk_cfg = models
+    return PipelineConfig(
+        detect=DetectOptions(batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.05),
+        mgp=MGPOptions(window=1, num_classes=C, max_boxes=32, image_hw=HW),
+        track=TrackOptions(max_tracks=6, anchors_per_round=3, image_hw=HW),
+        tracker_cfg=trk_cfg,
+        rescore=RescoreOptions(num_classes=C, max_boxes=64),
+        link=LinkOptions(num_classes=C, max_boxes=64, max_paths=40),
+    )
+
+
+def _dataset(tmp_path, n=2, frames=8):
+    vids = []
+    for i in range(n):
+        sv = make_video(
+            SynthConfig(
+                num_frames=frames, height=HW[0], width=HW[1], num_classes=C,
+                proposals_per_frame=R, seed=20 + i,
+            ),
+            video=f"pv{i}",
+        )
+        vid = write_frames(sv, str(tmp_path / "frames"))
+        vids.append((sv, vid))
+    return vids
+
+
+def test_run_video_all_stages(tmp_path, models, cfg):
+    (sv, vid), = _dataset(tmp_path, n=1)
+    m, _ = models
+    paths = run_video(str(tmp_path / "work"), vid, box_proto(sv), m, cfg)
+    for stage in ("detect", "mgp", "track", "rescored", "final", "tubelets"):
+        assert os.path.exists(paths[stage]), stage
+    final = proto_load(paths["final"])
+    assert final["video"] == sv.video
+    assert len(final["detections"]) > 0
+    tracks = proto_load(paths["track"])
+    assert len(tracks["tracks"]) >= 1
+
+
+def test_resume_by_existence(tmp_path, models, cfg):
+    (sv, vid), = _dataset(tmp_path, n=1)
+    m, _ = models
+    work = str(tmp_path / "work")
+    paths = run_video(work, vid, box_proto(sv), m, cfg)
+    mtime = os.path.getmtime(paths["final"])
+    # second run must not rewrite anything
+    paths2 = run_video(work, vid, box_proto(sv), m, cfg)
+    assert os.path.getmtime(paths2["final"]) == mtime
+
+
+def test_pipeline_map_reasonable(tmp_path, models, cfg):
+    """With GT-quality dets injected, the pipeline output scores high mAP."""
+    from vdetlib_tpu.data.synth import det_proto_from_gt
+
+    (sv, vid), = _dataset(tmp_path, n=1, frames=10)
+    m, _ = models
+    det = det_proto_from_gt(sv, dets_per_object=2, distractors_per_frame=2)
+    paths = run_video(
+        str(tmp_path / "work"), vid, None, m, cfg, det_proto=det
+    )
+    final = proto_load(paths["final"])
+    mp, aps = vid_map([(final, annot_proto(sv))])
+    assert mp > 0.4, (mp, aps)
+
+
+def test_run_videos_batch(tmp_path, models, cfg):
+    data = _dataset(tmp_path, n=2)
+    m, _ = models
+    results = run_videos(
+        str(tmp_path / "work"),
+        [(vid, box_proto(sv)) for sv, vid in data],
+        m,
+        cfg,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert os.path.exists(r["result"])

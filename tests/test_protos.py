@@ -129,10 +129,11 @@ def test_det_array_bridge_roundtrip(sv):
     rt = arrays_to_det_proto(boxes, scores, mask, fids, "synth", score_thresh=0.0)
     # Round trip preserves every (frame, bbox, class, score) tuple.
     def key(d):
+        # coordinates pass through float32 arrays: compare at 2 decimals
         return (
             d["frame"],
-            tuple(round(v, 3) for v in d["bbox"]),
-            tuple(sorted((s["class_index"], round(s["score"], 5)) for s in d["scores"])),
+            tuple(round(v, 2) for v in d["bbox"]),
+            tuple(sorted((s["class_index"], round(s["score"], 4)) for s in d["scores"])),
         )
 
     assert sorted(map(key, rt["detections"])) == sorted(map(key, dp["detections"]))

@@ -1,0 +1,103 @@
+"""Tracker tests: scan correctness, GT following, track_from_det (config 3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vdetlib_tpu.data.synth import (
+    SynthConfig,
+    det_proto_from_gt,
+    make_video,
+    vid_proto_in_memory,
+)
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.utils.common import iou
+from vdetlib_tpu.video.track import (
+    TrackOptions,
+    init_tracker,
+    track_batch,
+    track_from_det,
+    tracker_features,
+)
+
+T = 12
+HW = (240, 320)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sv = make_video(SynthConfig(num_frames=T, seed=0, height=HW[0], width=HW[1]))
+    cfg = TrackerConfig()
+    model, params = init_tracker(cfg, image_hw=HW, seed=0)
+    feats = tracker_features(model, params, jnp.asarray(sv.frames))
+    return sv, cfg, model, params, feats
+
+
+def test_tracker_follows_gt(setup):
+    sv, cfg, model, params, feats = setup
+    K = sv.gt_boxes.shape[0]
+    anchor_t = jnp.asarray([T // 2] * K)
+    anchor_boxes = jnp.asarray(sv.gt_boxes[:, T // 2])
+    boxes, conf, alive = track_batch(model, cfg, feats, anchor_t, anchor_boxes, 0.3)
+    boxes, alive = np.asarray(boxes), np.asarray(alive)
+    # every anchor survives with decent IoU on a majority of frames
+    for k in range(K):
+        assert alive[k].sum() >= T * 0.75
+        ious = [
+            iou(boxes[k, t : t + 1], sv.gt_boxes[k, t : t + 1])[0, 0]
+            for t in range(T)
+            if alive[k, t]
+        ]
+        assert np.mean(ious) > 0.35, (k, ious)
+
+
+def test_anchor_frame_identity(setup):
+    sv, cfg, model, params, feats = setup
+    at = 4
+    boxes, conf, alive = track_batch(
+        model, cfg, feats, jnp.asarray([at]), jnp.asarray(sv.gt_boxes[:1, at]), 0.3
+    )
+    np.testing.assert_allclose(np.asarray(boxes)[0, at], sv.gt_boxes[0, at], atol=1e-4)
+    assert float(np.asarray(conf)[0, at]) == 1.0
+    assert bool(np.asarray(alive)[0, at])
+
+
+def test_bidirectional_coverage(setup):
+    """An anchor in the middle must produce boxes on both sides."""
+    sv, cfg, model, params, feats = setup
+    at = T // 2
+    boxes, conf, alive = track_batch(
+        model, cfg, feats, jnp.asarray([at]), jnp.asarray(sv.gt_boxes[:1, at]), 0.2
+    )
+    alive = np.asarray(alive)[0]
+    assert alive[:at].any() and alive[at + 1 :].any()
+
+
+def test_track_from_det_end_to_end(setup):
+    """Config 3: det_proto anchors → track_proto via greedy rounds."""
+    sv, cfg, model, params, _ = setup
+    vid = vid_proto_in_memory(sv)
+    det = det_proto_from_gt(sv, dets_per_object=2, distractors_per_frame=2)
+    opts = TrackOptions(max_tracks=8, anchors_per_round=4, image_hw=HW)
+    tp = track_from_det(
+        model, params, vid, det, cfg, opts, frames_u8=sv.frames
+    )
+    assert tp["video"] == sv.video
+    assert 1 <= len(tp["tracks"]) <= 8
+    # every track is frame-sorted with valid boxes and covers several frames
+    for track in tp["tracks"]:
+        frames = [b["frame"] for b in track]
+        assert frames == sorted(frames)
+        assert len(frames) >= 3
+        assert all(len(b["bbox"]) == 4 for b in track)
+        assert "anchor" in track[0]
+    # tracks should collectively cover the GT objects reasonably:
+    covered = 0
+    for k in range(sv.gt_boxes.shape[0]):
+        best = 0.0
+        for track in tp["tracks"]:
+            for b in track:
+                t = b["frame"] - 1
+                best = max(best, iou([b["bbox"]], sv.gt_boxes[k, t : t + 1])[0, 0])
+        covered += best > 0.5
+    assert covered >= 2

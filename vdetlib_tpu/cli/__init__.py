@@ -24,6 +24,7 @@ TOOLS = {
     "write_submission": "vdetlib_tpu.cli.write_submission",
     "eval_vid": "vdetlib_tpu.cli.eval_vid",
     "pipeline": "vdetlib_tpu.cli.pipeline_tool",
+    "gen_synth": "vdetlib_tpu.cli.gen_synth",
 }
 
 

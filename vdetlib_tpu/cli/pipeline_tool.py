@@ -1,0 +1,105 @@
+"""Full T-CNN pipeline over a video set: detect → MGP → track → rescore → seq-NMS.
+
+Reference parity: the per-video driver scripts of the reference pipeline
+(SURVEY.md §3.4), with resume-by-existence at every stage and optional
+shard selection for multi-process / multi-host sweeps.
+
+Dataset layout (as produced by ``gen_synth``): ``<data>/NAME.vid.json`` +
+``NAME.box.json`` (+ optional ``NAME.annot.json`` for --eval).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir")
+    p.add_argument("workdir")
+    p.add_argument("--detector_weights", default=None)
+    p.add_argument("--tracker_weights", default=None)
+    p.add_argument("--model", default="tiny", choices=["base", "small", "tiny"])
+    p.add_argument("--num_classes", type=int, default=4)
+    p.add_argument("--image_hw", type=int, nargs=2, default=[240, 320])
+    p.add_argument("--max_rois", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--mgp_window", type=int, default=1)
+    p.add_argument("--max_tracks", type=int, default=16)
+    p.add_argument("--stages", default="detect,mgp,track,rescore,seq_nms")
+    p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
+    p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from vdetlib_tpu.dist.sharding import shard_videos
+    from vdetlib_tpu.nn.detector import init_detector
+    from vdetlib_tpu.nn.presets import detector_preset
+    from vdetlib_tpu.nn.tracker_net import TrackerConfig
+    from vdetlib_tpu.pipeline.checkpoint import load_params
+    from vdetlib_tpu.pipeline.runner import Models, PipelineConfig, run_videos
+    from vdetlib_tpu.protos import proto_load
+    from vdetlib_tpu.video.detect import DetectOptions
+    from vdetlib_tpu.video.link import LinkOptions
+    from vdetlib_tpu.video.mgp import MGPOptions
+    from vdetlib_tpu.video.rescore import RescoreOptions
+    from vdetlib_tpu.video.track import TrackOptions, init_tracker
+
+    vid_files = sorted(glob.glob(os.path.join(args.data_dir, "*.vid.json")))
+    vid_files = shard_videos(vid_files, args.shard[0], args.shard[1])
+    if not vid_files:
+        raise SystemExit(f"no *.vid.json under {args.data_dir} for this shard")
+
+    hw = tuple(args.image_hw)
+    det_cfg = detector_preset(args.model, num_classes=args.num_classes)
+    det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
+    if args.detector_weights:
+        det_params = load_params(args.detector_weights, template=det_params)
+    trk_cfg = TrackerConfig()
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
+    if args.tracker_weights:
+        trk_params = load_params(args.tracker_weights, template=trk_params)
+
+    cfg = PipelineConfig(
+        detect=DetectOptions(
+            batch_size=args.batch_size, max_rois=args.max_rois, image_hw=hw,
+            score_thresh=0.05,
+        ),
+        mgp=MGPOptions(
+            window=args.mgp_window, num_classes=args.num_classes, image_hw=hw
+        ),
+        track=TrackOptions(max_tracks=args.max_tracks, image_hw=hw),
+        tracker_cfg=trk_cfg,
+        rescore=RescoreOptions(num_classes=args.num_classes),
+        link=LinkOptions(num_classes=args.num_classes),
+        stages=tuple(args.stages.split(",")),
+    )
+    models = Models(det_model, det_params, trk_model, trk_params)
+
+    inputs = []
+    for vf in vid_files:
+        vid = proto_load(vf)
+        bf = vf.replace(".vid.json", ".box.json")
+        box = proto_load(bf) if os.path.exists(bf) else None
+        inputs.append((vid, box))
+    results = run_videos(args.workdir, inputs, models, cfg)
+
+    if args.eval:
+        from vdetlib_tpu.evaluation.vid_map import vid_map
+
+        pairs = []
+        for vf, paths in zip(vid_files, results):
+            af = vf.replace(".vid.json", ".annot.json")
+            if os.path.exists(af):
+                pairs.append((proto_load(paths["result"]), proto_load(af)))
+        m, aps = vid_map(pairs)
+        for ci in sorted(aps):
+            print(f"class {ci}: AP = {aps[ci]:.4f}")
+        print(f"mAP = {m:.4f} over {len(pairs)} videos")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

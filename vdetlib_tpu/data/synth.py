@@ -46,7 +46,10 @@ class SynthVideo:
 def make_video(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
     rng = np.random.default_rng(cfg.seed)
     T, H, W, K = cfg.num_frames, cfg.height, cfg.width, cfg.num_objects
-    frames = rng.integers(20, 60, size=(T, H, W, 3), dtype=np.uint8)
+    # static textured background (a real camera's background doesn't change
+    # pixel noise every frame — and optical flow / tracking rely on that)
+    background = rng.integers(20, 60, size=(H, W, 3), dtype=np.uint8)
+    frames = np.repeat(background[None], T, axis=0).copy()
 
     sizes = rng.uniform(cfg.min_size, cfg.max_size, size=(K, 2))
     pos0 = np.stack(

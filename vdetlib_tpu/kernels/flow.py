@@ -1,0 +1,192 @@
+"""Dense optical flow — pyramidal block-matching, device-resident.
+
+Reference parity: ``cv2.calcOpticalFlowFarneback`` (OpenCV C++), used by
+motion-guided propagation (SURVEY.md §3.3). MGP only consumes the MEAN flow
+inside each detection box, so the acceptance criterion is box-shift tolerance,
+not flow-field equality (SURVEY.md §7 hard parts).
+
+TPU design: classic coarse-to-fine block matching, expressed entirely as
+shift + multiply + windowed-sum ops (VPU-friendly, no gathers in the cost
+volume):
+- grayscale pyramid via 2× average pooling;
+- at each level, for every displacement (u, v) in a (2d+1)² window, the SSD
+  cost map is an average-pooled squared difference of the rolled image — all
+  shifts batched into one vmapped computation;
+- soft-argmin over the cost volume gives sub-pixel flow; levels compose by
+  upsampling the coarse flow and warping the target image (bilinear).
+All frame pairs of a snippet are processed as one batch (vmap over T-1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def to_gray(frames_u8):
+    """(..., H, W, 3) BGR uint8 → (..., H, W) float32 luma."""
+    f = frames_u8.astype(jnp.float32)
+    # BGR weights (Rec.601: 0.114 B, 0.587 G, 0.299 R)
+    return f[..., 0] * 0.114 + f[..., 1] * 0.587 + f[..., 2] * 0.299
+
+
+def _avg_pool2(x):
+    """2x2 mean-pool of (..., H, W)."""
+    s = x.shape
+    x = x[..., : s[-2] // 2 * 2, : s[-1] // 2 * 2]
+    x = x.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def _box_mean(x, radius: int):
+    """Windowed mean of (..., H, W) with a (2r+1)² box, same-size output."""
+    k = 2 * radius + 1
+    win = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1,) * (x.ndim - 2) + (k, k),
+        window_strides=(1,) * x.ndim,
+        padding="SAME",
+    )
+    return win / (k * k)
+
+
+def _shift2d(img, dy: int, dx: int):
+    """Integer shift with edge replication (static offsets)."""
+    H, W = img.shape[-2:]
+    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+    return img[..., ys, :][..., :, xs]
+
+
+def _warp_bilinear(img, flow):
+    """Warp (..., H, W) by (..., H, W, 2) flow (sample img at x+flow)."""
+    H, W = img.shape[-2:]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] + flow[..., 1]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] + flow[..., 0]
+    ys = jnp.clip(ys, 0.0, H - 1.0)
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = ys - y0
+    wx = xs - x0
+
+    def gather(yy, xx):
+        return img[..., yy, xx]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def _flow_level(i1, i2, search: int, radius: int, temperature: float):
+    """Single-level block-matching flow i1→i2 for (H, W) images.
+
+    Returns (H, W, 2) flow (dx, dy), sub-pixel via soft-argmin over the
+    (2*search+1)² SSD cost volume.
+    """
+    shifts = [(dy, dx) for dy in range(-search, search + 1)
+              for dx in range(-search, search + 1)]
+
+    def cost_for(shift):
+        dy, dx = shift
+        diff = i1 - _shift2d(i2, dy, dx)
+        return _box_mean(diff * diff, radius)
+
+    costs = jnp.stack([cost_for(s) for s in shifts])  # (S, H, W)
+    w = jax.nn.softmax(-temperature * costs, axis=0)
+    dys = jnp.asarray([s[0] for s in shifts], jnp.float32)[:, None, None]
+    dxs = jnp.asarray([s[1] for s in shifts], jnp.float32)[:, None, None]
+    fy = jnp.sum(w * dys, axis=0)
+    fx = jnp.sum(w * dxs, axis=0)
+    return jnp.stack([fx, fy], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "search", "radius", "temperature")
+)
+def flow_pair(
+    g1,
+    g2,
+    levels: int = 3,
+    search: int = 3,
+    radius: int = 3,
+    temperature: float = 0.08,
+):
+    """Coarse-to-fine flow between two grayscale images (H, W) → (H, W, 2)."""
+    pyr1, pyr2 = [g1], [g2]
+    for _ in range(levels - 1):
+        pyr1.append(_avg_pool2(pyr1[-1]))
+        pyr2.append(_avg_pool2(pyr2[-1]))
+    flow = None
+    for lvl in reversed(range(levels)):
+        i1, i2 = pyr1[lvl], pyr2[lvl]
+        if flow is None:
+            flow = _flow_level(i1, i2, search, radius, temperature)
+        else:
+            # upsample previous flow (×2) and refine residually
+            up = jax.image.resize(flow * 2.0, i1.shape + (2,), method="bilinear")
+            i2w = _warp_bilinear(i2, up)
+            res = _flow_level(i1, i2w, search, radius, temperature)
+            flow = up + res
+    return flow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "search", "radius", "temperature")
+)
+def flow_video(
+    frames_u8,
+    levels: int = 3,
+    search: int = 3,
+    radius: int = 3,
+    temperature: float = 0.08,
+):
+    """Flow for all consecutive pairs of (T, H, W, 3) frames → (T-1, H, W, 2).
+
+    flow[t] maps frame t → t+1 (forward flow).
+    """
+    gray = to_gray(frames_u8)
+    f = jax.vmap(
+        lambda a, b: flow_pair(
+            a, b, levels=levels, search=search, radius=radius, temperature=temperature
+        )
+    )(gray[:-1], gray[1:])
+    return f
+
+
+def mean_flow_in_boxes(flow, boxes, valid):
+    """Mean flow vector inside each box (the MGP shift).
+
+    Args:
+      flow: (H, W, 2); boxes: (N, 4) pixel [x1,y1,x2,y2]; valid: (N,) bool.
+    Returns:
+      (N, 2) mean (dx, dy) per box (zeros for invalid/degenerate boxes).
+
+    Uses a 2-D integral image so every box costs O(1) — one program for any
+    number of boxes, no data-dependent shapes.
+    """
+    H, W = flow.shape[:2]
+    ii = jnp.cumsum(jnp.cumsum(flow, axis=0), axis=1)  # (H, W, 2)
+    ii = jnp.pad(ii, ((1, 0), (1, 0), (0, 0)))
+
+    x1 = jnp.clip(jnp.floor(boxes[:, 0]).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(jnp.floor(boxes[:, 1]).astype(jnp.int32), 0, H - 1)
+    x2 = jnp.clip(jnp.ceil(boxes[:, 2]).astype(jnp.int32) + 1, x1 + 1, W)
+    y2 = jnp.clip(jnp.ceil(boxes[:, 3]).astype(jnp.int32) + 1, y1 + 1, H)
+    total = ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1]  # (N, 2)
+    area = ((y2 - y1) * (x2 - x1)).astype(jnp.float32)[:, None]
+    mean = total / jnp.maximum(area, 1.0)
+    return jnp.where(valid[:, None], mean, 0.0)

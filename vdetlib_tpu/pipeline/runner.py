@@ -1,0 +1,148 @@
+"""Full T-CNN pipeline over videos: detect → MGP → track → rescore → seq-NMS.
+
+Reference parity: the per-video driver flow (SURVEY.md §3.4). Every stage
+boundary is a JSON proto on disk written atomically; a stage whose output
+exists is skipped (resume-by-existence), so a crashed sweep resumes for free
+(SURVEY.md §5.3/5.4). Videos are independent — shard the list across
+processes/hosts with dist.shard_videos; within one process the device is kept
+busy by the batched per-stage programs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from vdetlib_tpu.data.loader import FrameLoader
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.protos import proto_dump, proto_exists, proto_load
+from vdetlib_tpu.utils.log import StageMetrics, get_logger
+from vdetlib_tpu.video.detect import DetectOptions, det_vid
+from vdetlib_tpu.video.link import LinkOptions, seq_nms_video
+from vdetlib_tpu.video.mgp import MGPOptions, mgp
+from vdetlib_tpu.video.rescore import RescoreOptions, tubelet_rescore
+from vdetlib_tpu.video.track import TrackOptions, track_from_det
+
+log = get_logger("pipeline")
+
+
+@dataclass
+class PipelineConfig:
+    detect: DetectOptions = field(default_factory=DetectOptions)
+    mgp: MGPOptions = field(default_factory=MGPOptions)
+    track: TrackOptions = field(default_factory=TrackOptions)
+    tracker_cfg: TrackerConfig = field(default_factory=TrackerConfig)
+    rescore: RescoreOptions = field(default_factory=RescoreOptions)
+    link: LinkOptions = field(default_factory=LinkOptions)
+    stages: tuple = ("detect", "mgp", "track", "rescore", "seq_nms")
+
+
+@dataclass
+class Models:
+    detector: object = None
+    detector_params: object = None
+    tracker: object = None
+    tracker_params: object = None
+
+
+def run_video(
+    workdir: str,
+    vid_proto: dict,
+    box_proto: Optional[dict],
+    models: Models,
+    cfg: PipelineConfig,
+    det_proto: Optional[dict] = None,
+) -> dict:
+    """Run the staged pipeline for one video; returns output paths per stage.
+
+    ``det_proto`` may be supplied to skip the detect stage (precomputed dets).
+    """
+    video = vid_proto["video"]
+    vdir = os.path.join(workdir, video)
+    os.makedirs(vdir, exist_ok=True)
+    paths = {s: os.path.join(vdir, f"{s}.json") for s in
+             ("detect", "mgp", "track", "score", "rescored", "final", "tubelets")}
+
+    # frames shared by mgp + track (decode once)
+    frames_u8 = None
+
+    def frames():
+        nonlocal frames_u8
+        if frames_u8 is None:
+            loader = FrameLoader(vid_proto, target_hw=cfg.detect.image_hw)
+            frames_u8 = np.stack([img for _, img, _ in loader.iter_frames()])
+            loader.close()
+        return frames_u8
+
+    if "detect" in cfg.stages and det_proto is None:
+        if proto_exists(paths["detect"]):
+            det_proto = proto_load(paths["detect"])
+        else:
+            det_proto = det_vid(
+                models.detector, models.detector_params, vid_proto, box_proto,
+                cfg.detect,
+            )
+            proto_dump(det_proto, paths["detect"])
+    cur_det = det_proto
+
+    if "mgp" in cfg.stages:
+        if proto_exists(paths["mgp"]):
+            cur_det = proto_load(paths["mgp"])
+        else:
+            cur_det = mgp(vid_proto, cur_det, opts=cfg.mgp, frames_u8=frames())
+            proto_dump(cur_det, paths["mgp"])
+
+    track_proto = None
+    if "track" in cfg.stages:
+        if proto_exists(paths["track"]):
+            track_proto = proto_load(paths["track"])
+        else:
+            track_proto = track_from_det(
+                models.tracker, models.tracker_params, vid_proto, cur_det,
+                cfg.tracker_cfg, cfg.track, frames_u8=frames(),
+            )
+            proto_dump(track_proto, paths["track"])
+
+    if "rescore" in cfg.stages and track_proto is not None:
+        if proto_exists(paths["rescored"]):
+            cur_det = proto_load(paths["rescored"])
+        else:
+            score_proto, cur_det = tubelet_rescore(
+                vid_proto, cur_det, track_proto, cfg.rescore
+            )
+            proto_dump(score_proto, paths["score"])
+            proto_dump(cur_det, paths["rescored"])
+
+    if "seq_nms" in cfg.stages:
+        if proto_exists(paths["final"]):
+            cur_det = proto_load(paths["final"])
+        else:
+            cur_det, tubelets = seq_nms_video(vid_proto, cur_det, cfg.link)
+            proto_dump(tubelets, paths["tubelets"])
+            proto_dump(cur_det, paths["final"])
+
+    paths["result"] = paths["final"] if "seq_nms" in cfg.stages else paths["detect"]
+    return paths
+
+
+def run_videos(
+    workdir: str,
+    video_inputs: list[tuple[dict, Optional[dict]]],
+    models: Models,
+    cfg: PipelineConfig,
+) -> list[dict]:
+    """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts."""
+    metrics = StageMetrics("pipeline")
+    out = []
+    n_frames = 0
+    for vid_proto, box_proto in video_inputs:
+        log.info("pipeline: video %s (%d frames)", vid_proto["video"], len(vid_proto["frames"]))
+        out.append(run_video(workdir, vid_proto, box_proto, models, cfg))
+        n_frames += len(vid_proto["frames"])
+    metrics.set("frames", n_frames)
+    metrics.set("videos", len(video_inputs))
+    metrics.finish()
+    return out

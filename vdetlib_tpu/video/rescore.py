@@ -1,0 +1,154 @@
+"""Temporal tubelet rescoring.
+
+Reference parity: the rescoring stage (SURVEY.md §2.2, §3.3): map detections
+onto tracks via IoU, compute per-(track, class) score statistics over the
+tubelet (top-k mean / max), and re-rank — detections on high-statistic
+tubelets are boosted, detections on no tubelet optionally decayed. Emits the
+``score_proto`` (track_proto + per-class tubelet scores) and a rescored
+det_proto for the downstream suppression stage.
+
+TPU design: one jitted program — the (K tracks × T frames × N dets) IoU
+tensor, masked max-matching, and the top-k segment reduction over the frame
+axis are all dense static-shape ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdetlib_tpu.geometry.boxes import pairwise_iou
+from vdetlib_tpu.protos.accessors import (
+    frame_ids as get_frame_ids,
+    score_proto_from_track_proto,
+)
+from vdetlib_tpu.protos.arrays import (
+    arrays_to_det_proto,
+    det_proto_to_arrays,
+    track_proto_to_arrays,
+)
+from vdetlib_tpu.utils.log import StageMetrics
+
+
+@dataclass(frozen=True)
+class RescoreOptions:
+    match_thresh: float = 0.5  # det ↔ track-box IoU match
+    top_ratio: float = 0.5  # statistic = mean of the top this-fraction scores
+    boost: str = "max"  # det new score: max(score, stat) | "mean"
+    bg_decay: float = 1.0  # multiplier for dets on no tubelet (1.0 = keep)
+    max_boxes: int = 64
+    num_classes: int = 31
+    max_tracks: int = 64
+
+
+@functools.partial(jax.jit, static_argnames=("top_ratio", "boost"))
+def rescore_arrays(
+    det_boxes,  # (T, N, 4)
+    det_scores,  # (T, N, C)
+    det_mask,  # (T, N)
+    trk_boxes,  # (K, T, 4)
+    trk_mask,  # (K, T)
+    match_thresh,
+    bg_decay,
+    top_ratio: float = 0.5,
+    boost: str = "max",
+):
+    """Core rescoring math.
+
+    Returns:
+      new_scores: (T, N, C) rescored detection scores.
+      tubelet_stats: (K, C) per-track per-class statistics.
+    """
+    T, N, C = det_scores.shape
+    K = trk_boxes.shape[0]
+    # IoU between each track's box and each det, per frame: (T, K, N)
+    iou = jax.vmap(pairwise_iou)(jnp.swapaxes(trk_boxes, 0, 1), det_boxes)
+    match = (
+        (iou > match_thresh)
+        & det_mask[:, None, :]
+        & jnp.swapaxes(trk_mask, 0, 1)[:, :, None]
+    )  # (T, K, N)
+
+    # per (track, frame, class): best matched det score
+    per_tf = jnp.max(
+        jnp.where(match[..., None], det_scores[:, None, :, :], 0.0), axis=2
+    )  # (T, K, C)
+    per_tf = jnp.swapaxes(per_tf, 0, 1)  # (K, T, C)
+
+    # top-k mean over the tubelet's frames (k = ceil(top_ratio * live length))
+    live = jnp.sum(trk_mask, axis=1)  # (K,)
+    k_each = jnp.maximum(jnp.ceil(live * top_ratio), 1.0)  # (K,)
+    sorted_scores = jnp.sort(per_tf, axis=1)[:, ::-1, :]  # desc over T
+    ranks = jnp.arange(T, dtype=jnp.float32)[None, :, None]
+    topk_mask = ranks < k_each[:, None, None]
+    stats = jnp.sum(sorted_scores * topk_mask, axis=1) / jnp.maximum(
+        jnp.sum(topk_mask, axis=1), 1.0
+    )  # (K, C)
+
+    # map stats back: each det takes the best stat among tracks matching it
+    stat_per_det = jnp.max(
+        jnp.where(match[..., None], jnp.swapaxes(stats[:, None, :], 0, 1)[:, :, None, :], 0.0),
+        axis=1,
+    )  # (T, N, C)
+    on_track = jnp.any(match, axis=1)  # (T, N)
+    if boost == "max":
+        boosted = jnp.maximum(det_scores, stat_per_det)
+    else:
+        boosted = 0.5 * (det_scores + jnp.maximum(det_scores, stat_per_det))
+    new_scores = jnp.where(
+        on_track[..., None], boosted, det_scores * bg_decay
+    )
+    new_scores = new_scores * det_mask[..., None]
+    return new_scores, stats
+
+
+def tubelet_rescore(
+    vid_proto: dict,
+    det_proto: dict,
+    track_proto: dict,
+    opts: RescoreOptions = RescoreOptions(),
+) -> tuple[dict, dict]:
+    """Full rescoring stage → (score_proto, rescored det_proto)."""
+    metrics = StageMetrics("rescore")
+    fids = get_frame_ids(vid_proto)
+    det_boxes, det_scores, det_mask = det_proto_to_arrays(
+        det_proto, fids, opts.max_boxes, opts.num_classes
+    )
+    trk_boxes, _, trk_mask = track_proto_to_arrays(
+        track_proto, fids, max_tracks=opts.max_tracks
+    )
+    if trk_boxes.shape[0] == 0:
+        trk_boxes = np.zeros((1, len(fids), 4), np.float32)
+        trk_mask = np.zeros((1, len(fids)), bool)
+    new_scores, stats = rescore_arrays(
+        jnp.asarray(det_boxes),
+        jnp.asarray(det_scores),
+        jnp.asarray(det_mask),
+        jnp.asarray(trk_boxes),
+        jnp.asarray(trk_mask),
+        opts.match_thresh,
+        opts.bg_decay,
+        top_ratio=opts.top_ratio,
+        boost=opts.boost,
+    )
+    new_scores = np.asarray(new_scores)
+    stats = np.asarray(stats)
+
+    det_out = arrays_to_det_proto(
+        det_boxes, new_scores, det_mask, fids, vid_proto["video"], score_thresh=0.0
+    )
+    n_tracks = len(track_proto["tracks"])
+    per_track_stats = [
+        {c: float(stats[k, c]) for c in range(1, opts.num_classes) if stats[k, c] > 0}
+        for k in range(min(n_tracks, opts.max_tracks))
+    ] + [{} for _ in range(max(0, n_tracks - opts.max_tracks))]
+    score_proto = score_proto_from_track_proto(track_proto, per_track_stats)
+    metrics.set("frames", len(fids))
+    metrics.set("tracks", n_tracks)
+    metrics.finish()
+    return score_proto, det_out
