@@ -25,6 +25,7 @@ TOOLS = {
     "eval_vid": "vdetlib_tpu.cli.eval_vid",
     "pipeline": "vdetlib_tpu.cli.pipeline_tool",
     "gen_synth": "vdetlib_tpu.cli.gen_synth",
+    "gen_box_proto": "vdetlib_tpu.cli.gen_box_proto",
 }
 
 

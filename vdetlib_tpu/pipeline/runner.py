@@ -48,6 +48,31 @@ class Models:
     tracker_params: object = None
 
 
+def dump_config(workdir: str, cfg: PipelineConfig) -> str:
+    """Serialize the pipeline config next to the outputs (SURVEY.md §5.6).
+
+    Reference-era thresholds were scattered flag defaults; here the full
+    stage-config tree is written once per run for reproducibility.
+    """
+    import dataclasses
+    import json
+
+    def enc(obj):
+        if dataclasses.is_dataclass(obj):
+            return {f.name: enc(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        if isinstance(obj, (list, tuple)):
+            return [enc(v) for v in obj]
+        if isinstance(obj, (str, int, float, bool)) or obj is None:
+            return obj
+        return str(obj)
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "pipeline_config.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(enc(cfg), f, indent=2)
+    return path
+
+
 def run_video(
     workdir: str,
     vid_proto: dict,
@@ -136,6 +161,7 @@ def run_videos(
 ) -> list[dict]:
     """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts."""
     metrics = StageMetrics("pipeline")
+    dump_config(workdir, cfg)
     out = []
     n_frames = 0
     for vid_proto, box_proto in video_inputs:
