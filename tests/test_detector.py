@@ -146,6 +146,38 @@ def test_det_vid_end_to_end(tiny_model, tmp_path):
         assert 0.0 <= d["scores"][0]["score"] <= 1.0
 
 
+def test_det_vid_device_resize(tiny_model, tmp_path):
+    """Native-res frames + fused on-device resize agree with host resize."""
+    model, params = tiny_model
+    sv = make_video(
+        SynthConfig(
+            num_frames=4,
+            height=2 * IMAGE_HW[0],  # native = 2x the network input
+            width=2 * IMAGE_HW[1],
+            seed=5,
+            proposals_per_frame=MAX_ROIS,
+        ),
+        video="dr",
+    )
+    vid = write_frames(sv, str(tmp_path))
+    bp = box_proto(sv)
+    from vdetlib_tpu.video.detect import DetectOptions, det_vid
+
+    base = dict(batch_size=2, max_rois=MAX_ROIS, image_hw=IMAGE_HW, score_thresh=0.0)
+    det_host = det_vid(model, params, vid, bp, DetectOptions(**base))
+    det_dev = det_vid(
+        model, params, vid, bp, DetectOptions(**base, device_resize=True)
+    )
+    assert len(det_dev["detections"]) > 0
+    # same (frame, class) population; boxes agree loosely (the two resize
+    # kernels differ: cv2 INTER_AREA vs 2-tap bilinear)
+    def keyset(d):
+        return {(x["frame"], x["scores"][0]["class_index"]) for x in d["detections"]}
+
+    common = keyset(det_host) & keyset(det_dev)
+    assert len(common) > 0.5 * len(keyset(det_host))
+
+
 def test_checkpoint_roundtrip(tiny_model, tmp_path):
     model, params = tiny_model
     from vdetlib_tpu.pipeline.checkpoint import load_params, save_params

@@ -1,0 +1,74 @@
+"""Tracker training: loss decreases; long-video (config 3) tracking runs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vdetlib_tpu.data.synth import SynthConfig, make_video
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.nn.tracker_train import (
+    make_tracker_batch,
+    response_and_target,
+    train_tracker,
+)
+from vdetlib_tpu.video.track import init_tracker, track_batch, tracker_features
+
+HW = (96, 128)
+
+
+def test_target_peaks_at_gt_displacement():
+    cfg = TrackerConfig()
+    model, params = init_tracker(cfg, image_hw=HW, seed=0)
+    sv = make_video(SynthConfig(num_frames=4, height=HW[0], width=HW[1], seed=1))
+    feats = tracker_features(model, params, jnp.asarray(sv.frames[:2]))
+    box_a = jnp.asarray(sv.gt_boxes[0, 0])
+    box_b = jnp.asarray(sv.gt_boxes[0, 1])
+    resp, target, in_range = response_and_target(feats[0], feats[1], box_a, box_b, cfg)
+    R = cfg.search_pool - cfg.template_pool + 1
+    assert resp.shape == (R, R) and target.shape == (R, R)
+    assert bool(in_range)
+    np.testing.assert_allclose(float(target.sum()), 1.0, rtol=1e-5)
+    # identity pair → target at the center bin
+    _, t0, _ = response_and_target(feats[0], feats[0], box_a, box_a, cfg)
+    c = np.unravel_index(np.asarray(t0).argmax(), t0.shape)
+    assert c == ((R - 1) // 2, (R - 1) // 2)
+
+
+def test_training_reduces_loss():
+    cfg = TrackerConfig()
+    model, params = init_tracker(cfg, image_hw=HW, seed=0)
+    videos = [
+        make_video(SynthConfig(num_frames=8, height=HW[0], width=HW[1], seed=50 + i))
+        for i in range(2)
+    ]
+    from vdetlib_tpu.nn.tracker_train import TrackerTrainState, tracker_train_step
+    import optax
+    import jax
+
+    tx = optax.adamw(1e-3)
+    params = jax.tree.map(jnp.copy, params)
+    state = TrackerTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(15):
+        batch = make_tracker_batch(videos, rng, 4)
+        state, aux = tracker_train_step(model, cfg, tx, state, batch)
+        losses.append(float(aux["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_long_video_tracking_300_frames():
+    """Config 3 (BASELINE.json:9): 300-frame video, single scan program."""
+    cfg = TrackerConfig()
+    model, params = init_tracker(cfg, image_hw=HW, seed=0)
+    sv = make_video(
+        SynthConfig(num_frames=300, height=HW[0], width=HW[1], seed=7, max_speed=2.0)
+    )
+    feats = tracker_features(model, params, jnp.asarray(sv.frames))
+    boxes, conf, alive = track_batch(
+        model, cfg, feats, jnp.asarray([150]), jnp.asarray(sv.gt_boxes[:1, 150]), 0.2
+    )
+    alive = np.asarray(alive)[0]
+    assert alive.sum() > 200  # survives most of the video
+    assert alive[0] or alive[1]  # reached the start (backward scan)
+    assert alive[-1] or alive[-2]  # reached the end (forward scan)

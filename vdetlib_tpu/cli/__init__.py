@@ -15,6 +15,7 @@ TOOLS = {
     "frame_nms": "vdetlib_tpu.cli.frame_nms",
     "detect": "vdetlib_tpu.cli.detect",
     "train_detector": "vdetlib_tpu.cli.train_detector",
+    "train_tracker": "vdetlib_tpu.cli.train_tracker",
     "mgp": "vdetlib_tpu.cli.mgp",
     "track": "vdetlib_tpu.cli.track",
     "rescore": "vdetlib_tpu.cli.rescore",

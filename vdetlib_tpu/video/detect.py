@@ -34,15 +34,36 @@ class DetectOptions:
     score_thresh: float = 0.005  # drop per-class entries below this
     regress: bool = True  # apply per-class bbox regression
     class_names: Optional[tuple] = None
+    # Resize on device (fused MXU resize+normalize, kernels/preprocess.py):
+    # frames cross PCIe at native resolution as uint8; host cv2 resize is
+    # skipped. Requires constant native frame size within a video.
+    device_resize: bool = False
 
 
-@functools.partial(jax.jit, static_argnames=("model", "regress"))
-def _detect_step(model: Detector, params, images_u8, rois, regress: bool):
-    """One device step: (B,H,W,3) u8 + (B,R,4) rois → probs (B,R,K), boxes (B,R,K,4)."""
-    images = preprocess_images(images_u8, model.config)
+@functools.partial(jax.jit, static_argnames=("model", "regress", "net_hw"))
+def _detect_step(
+    model: Detector, params, images_u8, rois, regress: bool, net_hw=None
+):
+    """One device step: (B,H,W,3) u8 + (B,R,4) rois → probs (B,R,K), boxes (B,R,K,4).
+
+    With ``net_hw`` set, frames arrive at NATIVE resolution and are resized
+    on device by the fused MXU resize+normalize kernel; ``rois`` must already
+    be in net coordinates.
+    """
+    if net_hw is not None and net_hw != images_u8.shape[1:3]:
+        from vdetlib_tpu.kernels.preprocess import fused_resize_normalize
+
+        images = fused_resize_normalize(
+            images_u8,
+            net_hw,
+            pixel_mean=model.config.pixel_mean,
+            pixel_scale=model.config.pixel_scale,
+        )
+    else:
+        images = preprocess_images(images_u8, model.config)
     scores, deltas = model.apply(params, images, rois, train=False)
     probs = jax.nn.softmax(scores, axis=-1)  # (B, R, K)
-    H, W = images_u8.shape[1:3]
+    H, W = net_hw if net_hw is not None else images_u8.shape[1:3]
     if regress:
         boxes = apply_deltas(rois[:, :, None, :], deltas)  # (B, R, K, 4)
     else:
@@ -97,13 +118,18 @@ def det_vid(
     of the ORIGINAL frames — network-space boxes are scaled back).
     """
     metrics = StageMetrics("detect")
-    loader = FrameLoader(vid_proto, target_hw=opts.image_hw)
+    loader = FrameLoader(
+        vid_proto, target_hw=None if opts.device_resize else opts.image_hw
+    )
     R = opts.max_rois
     K = model.config.num_classes
     detections = []
     n_frames = 0
     for fids, images, scales in loader.iter_batches(opts.batch_size):
         B = images.shape[0]
+        if opts.device_resize:
+            h, w = images.shape[1:3]
+            scales = [(opts.image_hw[0] / h, opts.image_hw[1] / w)] * len(fids)
         rois = np.zeros((B, R, 4), dtype=np.float32)
         mask = np.zeros((B, R), dtype=bool)
         for bi, fid in enumerate(fids):
@@ -113,7 +139,12 @@ def det_vid(
                 rois[bi, ri] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
                 mask[bi, ri] = True
         probs, boxes = _detect_step(
-            model, params, jnp.asarray(images), jnp.asarray(rois), opts.regress
+            model,
+            params,
+            jnp.asarray(images),
+            jnp.asarray(rois),
+            opts.regress,
+            net_hw=opts.image_hw if opts.device_resize else None,
         )
         probs = np.asarray(probs)
         boxes = np.asarray(boxes)
