@@ -108,20 +108,26 @@ def seq_nms_single(
 
     def body(state):
         alive, out_scores, path_id, n_paths, _ = state
+        # VMAP SEMANTICS: under vmap the while_loop runs a lane's body past
+        # its own convergence (until every lane's cond is false), so every
+        # state update below must be a no-op for finished lanes — gate on
+        # ``active`` and on the onehot-derived per-frame path presence, never
+        # on the raw backtrack output (garbage when dp is all -inf).
         dp, bp = viterbi(alive)
         idx, on_path, best = extract_path(dp, bp)
+        active = (best > 0) & (n_paths < max_paths)
         # one-hot per frame (N,) — avoids scatters
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (T, N), 1) == idx[:, None]
         ) & on_path[:, None]
-        # a path only exists when something alive scored positively
-        onehot = onehot & alive & (best > 0)
+        onehot = onehot & alive & active
+        frame_on_path = jnp.any(onehot, axis=1)  # (T,)
         path_scores = jnp.sum(jnp.where(onehot, scores, 0.0), axis=1)
-        n_on = jnp.maximum(jnp.sum(on_path), 1)
+        n_on = jnp.maximum(jnp.sum(frame_on_path), 1)
         if rescore == "avg":
-            stat = jnp.sum(jnp.where(on_path, path_scores, 0.0)) / n_on
+            stat = jnp.sum(jnp.where(frame_on_path, path_scores, 0.0)) / n_on
         else:
-            stat = jnp.max(jnp.where(on_path, path_scores, NEG))
+            stat = jnp.max(jnp.where(frame_on_path, path_scores, NEG))
         out_scores = jnp.where(onehot, stat, out_scores)
         path_id = jnp.where(onehot, n_paths, path_id)
         alive = alive & ~onehot
@@ -132,10 +138,10 @@ def seq_nms_single(
         iou_row = jax.vmap(lambda pb, bx: pairwise_iou(pb[None], bx, offset=offset)[0])(
             path_box, boxes
         )  # (T, N)
-        kill = (iou_row > suppress_thresh) & on_path[:, None] & alive
+        kill = (iou_row > suppress_thresh) & frame_on_path[:, None] & alive
         out_scores = jnp.where(kill, -1.0, out_scores)
         alive = alive & ~kill
-        return alive, out_scores, path_id, n_paths + 1, best
+        return alive, out_scores, path_id, n_paths + active.astype(jnp.int32), best
 
     def cond(state):
         alive, _, _, n_paths, last_best = state
