@@ -67,6 +67,30 @@ def test_fused_single(setup):
     assert (fs[~keep] <= 0).all()
 
 
+def test_fused_padded_bucket_matches_unpadded(setup):
+    """pad_snippet + t_valid: valid-frame outputs equal the unpadded run."""
+    from vdetlib_tpu.pipeline.fused import pad_snippet
+
+    det_model, det_params, trk_model, trk_params, trk_cfg, cfg = setup
+    frames, rois = _inputs(33)
+    pipe = make_fused_pipeline(det_model, trk_model, trk_cfg, cfg)
+    base = pipe(det_params, trk_params, jnp.asarray(frames[0]), jnp.asarray(rois[0]))
+    fp, rp, t_valid = pad_snippet(frames[0], rois[0], bucket=2 * T)
+    assert fp.shape[0] == 2 * T and t_valid == T
+    padded = pipe(det_params, trk_params, jnp.asarray(fp), jnp.asarray(rp), t_valid)
+    np.testing.assert_array_equal(
+        np.asarray(padded.keep)[:T], np.asarray(base.keep)
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.final_scores)[:, :T],
+        np.asarray(base.final_scores),
+        rtol=1e-4, atol=1e-4,
+    )
+    # nothing survives in the padded tail
+    assert not np.asarray(padded.keep)[T:].any()
+    assert (np.asarray(padded.final_scores)[:, T:] <= 0).all()
+
+
 def test_fused_sharded_matches_vmapped(setup):
     """Sharding over the mesh must not change results vs plain vmap.
 

@@ -62,9 +62,17 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
     B = cfg.detect_batch
     A = cfg.num_anchors
 
-    def pipeline(det_p, trk_p, frames, rois) -> FusedOutput:
+    def pipeline(det_p, trk_p, frames, rois, t_valid=None) -> FusedOutput:
         T, R = rois.shape[:2]
         C = det_model.config.num_classes
+        # variable-length snippets: T is a padded bucket; frames beyond
+        # t_valid are masked out of every decision (bucketed compilation —
+        # one executable per bucket instead of one per video length)
+        frame_ok = (
+            jnp.ones((T,), bool)
+            if t_valid is None
+            else jnp.arange(T) < t_valid
+        )
 
         # ---- detection (config 2) ----
         def one_batch(fr, rs):
@@ -83,7 +91,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
         # ---- per-frame per-class NMS (config 1 kernel) ----
         cls_boxes = jnp.swapaxes(boxes[:, :, 1:, :], 1, 2)  # (T, C-1, R, 4)
         cls_scores = jnp.swapaxes(probs[:, :, 1:], 1, 2)  # (T, C-1, R)
-        valid = cls_scores > cfg.score_floor
+        valid = (cls_scores > cfg.score_floor) & frame_ok[:, None, None]
         keep = batched_nms(cls_boxes, cls_scores, valid, cfg.nms_thresh)
         kept_scores = jnp.where(keep, cls_scores, 0.0)
         det_mask = jnp.any(keep, axis=1)  # (T, R)
@@ -97,13 +105,16 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
         # ---- tracking (config 3) ----
         x = frames.astype(jnp.float32) / 255.0 - 0.5
         feats = trk_model.apply(trk_p, x)
-        anchor_quality = jnp.max(probs[0, :, 1:], axis=-1)
-        _, anchor_idx = jax.lax.top_k(anchor_quality, A)
-        anchor_boxes = rois[0][anchor_idx]
+        # global top-A anchors over ALL frames (the reference's greedy anchor
+        # selection picks the globally highest-scoring detections)
+        quality = jnp.max(jnp.where(keep, cls_scores, 0.0), axis=1)  # (T, R)
+        _, flat_idx = jax.lax.top_k(quality.reshape(-1), A)
+        anchor_ts = (flat_idx // R).astype(jnp.int32)
+        anchor_boxes = rois.reshape(-1, 4)[flat_idx]
         trk_boxes, trk_conf, trk_alive = track_batch(
-            trk_model, trk_cfg, feats, jnp.zeros(A, jnp.int32), anchor_boxes,
-            cfg.track_conf,
+            trk_model, trk_cfg, feats, anchor_ts, anchor_boxes, cfg.track_conf
         )
+        trk_alive = trk_alive & frame_ok[None, :]
 
         # ---- tubelet rescoring (config 4b) ----
         new_scores, stats = rescore_arrays(
@@ -134,8 +145,30 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
 
 
 def make_fused_pipeline(det_model, trk_model, trk_cfg, cfg: FusedConfig):
-    """Returns jit(fn)(det_params, trk_params, frames_u8 (T,H,W,3), rois (T,R,4))."""
+    """Returns jit(fn)(det_params, trk_params, frames_u8 (T,H,W,3), rois (T,R,4),
+    t_valid=None) — t_valid masks padded tail frames (see pad_snippet)."""
     return jax.jit(_make_pipeline_fn(det_model, trk_model, trk_cfg, cfg))
+
+
+def pad_snippet(frames_u8, rois, bucket: int = 32):
+    """Pad a (T, ...) snippet to the next T bucket (repeat last frame).
+
+    Returns (frames_p, rois_p, t_valid). One compiled executable serves every
+    video whose length rounds to the same bucket.
+    """
+    import numpy as np
+
+    T = frames_u8.shape[0]
+    Tp = max(((T + bucket - 1) // bucket) * bucket, bucket)
+    if Tp == T:
+        return frames_u8, rois, T
+    fpad = np.repeat(frames_u8[-1:], Tp - T, axis=0)
+    rpad = np.zeros((Tp - T,) + rois.shape[1:], rois.dtype)
+    return (
+        np.concatenate([frames_u8, fpad], axis=0),
+        np.concatenate([rois, rpad], axis=0),
+        T,
+    )
 
 
 def make_sharded_pipeline(det_model, trk_model, trk_cfg, cfg: FusedConfig, mesh):

@@ -125,29 +125,12 @@ def det_vid(
     K = model.config.num_classes
     detections = []
     n_frames = 0
-    for fids, images, scales in loader.iter_batches(opts.batch_size):
-        B = images.shape[0]
-        if opts.device_resize:
-            h, w = images.shape[1:3]
-            scales = [(opts.image_hw[0] / h, opts.image_hw[1] / w)] * len(fids)
-        rois = np.zeros((B, R, 4), dtype=np.float32)
-        mask = np.zeros((B, R), dtype=bool)
-        for bi, fid in enumerate(fids):
-            sy, sx = scales[bi]
-            props = boxes_at_frame(box_proto, fid)[:R]
-            for ri, bb in enumerate(props):
-                rois[bi, ri] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
-                mask[bi, ri] = True
-        probs, boxes = _detect_step(
-            model,
-            params,
-            jnp.asarray(images),
-            jnp.asarray(rois),
-            opts.regress,
-            net_hw=opts.image_hw if opts.device_resize else None,
-        )
-        probs = np.asarray(probs)
-        boxes = np.asarray(boxes)
+
+    def emit(fids, scales, mask, probs_dev, boxes_dev):
+        # np.asarray here is the fence — by now the NEXT batch has already
+        # been dispatched, so device compute overlaps this host work.
+        probs = np.asarray(probs_dev)
+        boxes = np.asarray(boxes_dev)
         for bi, fid in enumerate(fids):
             sy, sx = scales[bi]
             inv = np.array([1 / sx, 1 / sy, 1 / sx, 1 / sy], dtype=np.float32)
@@ -172,7 +155,35 @@ def det_vid(
                             ],
                         }
                     )
+
+    pending = None
+    for fids, images, scales in loader.iter_batches(opts.batch_size):
+        B = images.shape[0]
+        if opts.device_resize:
+            h, w = images.shape[1:3]
+            scales = [(opts.image_hw[0] / h, opts.image_hw[1] / w)] * len(fids)
+        rois = np.zeros((B, R, 4), dtype=np.float32)
+        mask = np.zeros((B, R), dtype=bool)
+        for bi, fid in enumerate(fids):
+            sy, sx = scales[bi]
+            props = boxes_at_frame(box_proto, fid)[:R]
+            for ri, bb in enumerate(props):
+                rois[bi, ri] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
+                mask[bi, ri] = True
+        probs_dev, boxes_dev = _detect_step(
+            model,
+            params,
+            jnp.asarray(images),
+            jnp.asarray(rois),
+            opts.regress,
+            net_hw=opts.image_hw if opts.device_resize else None,
+        )
+        if pending is not None:
+            emit(*pending)
+        pending = (fids, scales, mask, probs_dev, boxes_dev)
         n_frames += len(fids)
+    if pending is not None:
+        emit(*pending)
     loader.close()
     metrics.set("frames", n_frames)
     metrics.set("dets_out", len(detections))
