@@ -107,6 +107,23 @@ def test_batch_vmap_consistency():
         np.testing.assert_allclose(np.asarray(out_b[c]), np.asarray(out_s), rtol=1e-6)
 
 
+def test_host_backend_matches_device():
+    rng = np.random.default_rng(9)
+    T, N, C = 6, 10, 3
+    boxes, _, _ = _problem(rng, T, N)
+    scores = rng.uniform(0.05, 1, size=(C, T, N)).astype(np.float32)
+    mask = rng.uniform(size=(C, T, N)) > 0.3
+    from vdetlib_tpu.kernels.seq_nms_host import seq_nms_batch_host
+
+    oh, ph = seq_nms_batch_host(boxes, scores, mask, 0.5, 0.3, max_paths=30)
+    od, pd = seq_nms_batch(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(mask), 0.5, 0.3,
+        max_paths=30,
+    )
+    np.testing.assert_allclose(oh, np.asarray(od), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ph, np.asarray(pd))
+
+
 def test_oracle_best_path_sanity():
     """The oracle itself: a strong chain beats isolated high scores."""
     box = [10.0, 10.0, 50.0, 50.0]

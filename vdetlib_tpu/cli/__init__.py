@@ -27,6 +27,7 @@ TOOLS = {
     "pipeline": "vdetlib_tpu.cli.pipeline_tool",
     "gen_synth": "vdetlib_tpu.cli.gen_synth",
     "gen_box_proto": "vdetlib_tpu.cli.gen_box_proto",
+    "serve": "vdetlib_tpu.cli.serve",
 }
 
 

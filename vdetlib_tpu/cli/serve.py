@@ -1,0 +1,101 @@
+"""Serving daemon — watch a directory for new videos, process continuously.
+
+Production-serving counterpart of the batch ``pipeline`` tool: polls
+``<data_dir>`` for ``NAME.vid.json`` (+ optional ``NAME.box.json``) whose
+outputs don't exist yet, runs the staged pipeline on each, and writes results
+under ``<workdir>/NAME/``. Safe to run several instances (even on several
+hosts over a shared filesystem): stage outputs are written atomically and a
+per-video ``.lock`` directory provides mutual exclusion; crashes resume at
+the last completed stage (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir")
+    p.add_argument("workdir")
+    p.add_argument("--detector_weights", default=None)
+    p.add_argument("--tracker_weights", default=None)
+    p.add_argument("--model", default="tiny", choices=["base", "small", "tiny"])
+    p.add_argument("--num_classes", type=int, default=31)
+    p.add_argument("--image_hw", type=int, nargs=2, default=[240, 320])
+    p.add_argument("--max_rois", type=int, default=64)
+    p.add_argument("--poll_sec", type=float, default=2.0)
+    p.add_argument("--once", action="store_true", help="drain the queue and exit")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from vdetlib_tpu.nn.detector import init_detector
+    from vdetlib_tpu.nn.presets import detector_preset
+    from vdetlib_tpu.nn.tracker_net import TrackerConfig
+    from vdetlib_tpu.pipeline.checkpoint import load_params
+    from vdetlib_tpu.pipeline.runner import Models, PipelineConfig, run_video
+    from vdetlib_tpu.protos import proto_load
+    from vdetlib_tpu.utils.log import get_logger
+    from vdetlib_tpu.video.detect import DetectOptions
+    from vdetlib_tpu.video.link import LinkOptions
+    from vdetlib_tpu.video.mgp import MGPOptions
+    from vdetlib_tpu.video.rescore import RescoreOptions
+    from vdetlib_tpu.video.track import TrackOptions, init_tracker
+
+    log = get_logger("serve")
+    hw = tuple(args.image_hw)
+    det_cfg = detector_preset(args.model, num_classes=args.num_classes)
+    det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
+    if args.detector_weights:
+        det_params = load_params(args.detector_weights, template=det_params)
+    trk_cfg = TrackerConfig()
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
+    if args.tracker_weights:
+        trk_params = load_params(args.tracker_weights, template=trk_params)
+    models = Models(det_model, det_params, trk_model, trk_params)
+    cfg = PipelineConfig(
+        detect=DetectOptions(max_rois=args.max_rois, image_hw=hw, score_thresh=0.05),
+        mgp=MGPOptions(num_classes=args.num_classes, image_hw=hw),
+        track=TrackOptions(image_hw=hw),
+        tracker_cfg=trk_cfg,
+        rescore=RescoreOptions(num_classes=args.num_classes),
+        link=LinkOptions(num_classes=args.num_classes),
+    )
+
+    os.makedirs(args.workdir, exist_ok=True)
+    log.info("serving %s → %s", args.data_dir, args.workdir)
+    processed = 0
+    while True:
+        did_work = False
+        for vf in sorted(glob.glob(os.path.join(args.data_dir, "*.vid.json"))):
+            name = os.path.basename(vf).replace(".vid.json", "")
+            done_marker = os.path.join(args.workdir, name, "final.json")
+            lock = os.path.join(args.workdir, name + ".lock")
+            if os.path.exists(done_marker):
+                continue
+            try:
+                os.makedirs(lock)  # atomic mutual exclusion
+            except FileExistsError:
+                continue
+            try:
+                vid = proto_load(vf)
+                bf = vf.replace(".vid.json", ".box.json")
+                box = proto_load(bf) if os.path.exists(bf) else None
+                log.info("processing %s (%d frames)", name, len(vid["frames"]))
+                run_video(args.workdir, vid, box, models, cfg)
+                processed += 1
+                did_work = True
+            finally:
+                os.rmdir(lock)
+        if args.once and not did_work:
+            log.info("queue drained: %d videos processed", processed)
+            return 0
+        if not did_work:
+            time.sleep(args.poll_sec)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

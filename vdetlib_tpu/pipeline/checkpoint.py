@@ -22,6 +22,25 @@ def save_params(path: str, params: Any) -> None:
         ckptr.save(path, params, force=True)
 
 
+def save_train_state(path: str, state) -> None:
+    """Persist a full TrainState (params + optimizer slots + step) for resume."""
+    save_params(path, {"params": state.params, "opt_state": state.opt_state,
+                       "step": state.step})
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by save_train_state (template = fresh state)."""
+    restored = load_params(
+        path,
+        template={
+            "params": template.params,
+            "opt_state": template.opt_state,
+            "step": template.step,
+        },
+    )
+    return type(template)(restored["params"], restored["opt_state"], restored["step"])
+
+
 def load_params(path: str, template: Optional[Any] = None) -> Any:
     import orbax.checkpoint as ocp
 

@@ -28,6 +28,7 @@ class LinkOptions:
     max_boxes: int = 64
     num_classes: int = 31
     min_score: float = 0.0  # drop rescored entries at/below this
+    backend: str = "device"  # device (XLA while_loop) | host (numpy)
 
 
 def seq_nms_video(
@@ -44,17 +45,25 @@ def seq_nms_video(
     # per-class problems share boxes; participation = explicit positive score
     cls_scores = np.moveaxis(scores, 2, 0)  # (C, T, N)
     cls_mask = (cls_scores > 0) & mask[None]
-    out_scores, path_ids = seq_nms_batch(
-        jnp.asarray(boxes),
-        jnp.asarray(cls_scores),
-        jnp.asarray(cls_mask),
-        opts.link_thresh,
-        opts.suppress_thresh,
-        max_paths=opts.max_paths,
-        rescore=opts.rescore,
-    )
-    out_scores = np.asarray(out_scores)  # (C, T, N); -1 = suppressed
-    path_ids = np.asarray(path_ids)
+    if opts.backend == "host":
+        from vdetlib_tpu.kernels.seq_nms_host import seq_nms_batch_host
+
+        out_scores, path_ids = seq_nms_batch_host(
+            boxes, cls_scores, cls_mask, opts.link_thresh, opts.suppress_thresh,
+            max_paths=opts.max_paths, rescore=opts.rescore,
+        )
+    else:
+        out_scores, path_ids = seq_nms_batch(
+            jnp.asarray(boxes),
+            jnp.asarray(cls_scores),
+            jnp.asarray(cls_mask),
+            opts.link_thresh,
+            opts.suppress_thresh,
+            max_paths=opts.max_paths,
+            rescore=opts.rescore,
+        )
+        out_scores = np.asarray(out_scores)  # (C, T, N); -1 = suppressed
+        path_ids = np.asarray(path_ids)
 
     # det proto: surviving entries carry rescored scores
     new_scores = np.moveaxis(np.maximum(out_scores, 0.0), 0, 2)  # (T, N, C)

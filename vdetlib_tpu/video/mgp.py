@@ -39,6 +39,7 @@ class MGPOptions:
     num_classes: int = 31
     flow_levels: int = 3
     flow_search: int = 3
+    flow_preset: str = "accurate"  # "fast" = single half-res bf16 level
     image_hw: Optional[tuple] = None
     run_nms: bool = True
 
@@ -71,14 +72,12 @@ def propagate_dets(
     """
     T, N = mask.shape
     w = opts.window
-    fwd = flow_video(
-        jnp.asarray(frames_u8), levels=opts.flow_levels, search=opts.flow_search
-    )  # (T-1, H, W, 2): t → t+1
-    bwd = flow_video(
-        jnp.asarray(frames_u8[::-1].copy()),
-        levels=opts.flow_levels,
-        search=opts.flow_search,
-    )  # reversed: index r maps rev r → r+1 i.e. orig (T-1-r) → (T-2-r)
+    flow_kw = dict(
+        levels=opts.flow_levels, search=opts.flow_search, preset=opts.flow_preset
+    )
+    fwd = flow_video(jnp.asarray(frames_u8), **flow_kw)  # (T-1, H, W, 2): t → t+1
+    bwd = flow_video(jnp.asarray(frames_u8[::-1].copy()), **flow_kw)
+    # reversed: index r maps rev r → r+1 i.e. orig (T-1-r) → (T-2-r)
     bwd = jnp.flip(bwd, axis=0)  # bwd[t] maps t+1 → t
 
     out_boxes = [boxes]
