@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 # ---- workload config ------------------------------------------------------
-T = 128  # frames per snippet
+T = 256  # frames per snippet
 H, W = 240, 320
 R = 64  # proposals per frame
 C = 31  # classes incl. background
