@@ -73,6 +73,28 @@ def test_bidirectional_coverage(setup):
     assert alive[:at].any() and alive[at + 1 :].any()
 
 
+def test_multi_scale_tracking_runs(setup):
+    """Scale-adaptive tracking (num_scales=3) stays on target.
+
+    With untrained features scale selection is noisy, so this asserts
+    functionality (alive + reasonable IoU), not superiority over
+    single-scale — that needs trained TrackerNet features.
+    """
+    sv, _, model, params, feats = setup
+    cfg3 = TrackerConfig(num_scales=3)
+    boxes, conf, alive = track_batch(
+        model, cfg3, feats, jnp.asarray([0]), jnp.asarray(sv.gt_boxes[:1, 0]), 0.2
+    )
+    boxes, alive = np.asarray(boxes), np.asarray(alive)
+    assert alive[0].sum() >= T * 0.5
+    ious = [
+        iou(boxes[0, t : t + 1], sv.gt_boxes[0, t : t + 1])[0, 0]
+        for t in range(T)
+        if alive[0, t]
+    ]
+    assert np.mean(ious) > 0.3
+
+
 def test_track_from_det_end_to_end(setup):
     """Config 3: det_proto anchors → track_proto via greedy rounds."""
     sv, cfg, model, params, _ = setup

@@ -27,6 +27,7 @@ class SynthConfig:
     max_speed: float = 4.0
     proposals_per_frame: int = 24
     jitter: float = 3.0
+    scale_rate: float = 0.0  # per-frame relative size change (e.g. 0.02)
 
 
 @dataclass
@@ -70,7 +71,9 @@ def make_video(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
         for k in range(K):
             x = pos0[k, 0] + vel[k, 0] * t
             y = pos0[k, 1] + vel[k, 1] * t
-            w, h = sizes[k]
+            grow = (1.0 + cfg.scale_rate) ** t
+            w = min(sizes[k, 0] * grow, W * 0.6)
+            h = min(sizes[k, 1] * grow, H * 0.6)
             # bounce off edges
             x = _bounce(x, W - w)
             y = _bounce(y, H - h)

@@ -31,6 +31,12 @@ class TrackerConfig:
     template_pool: int = 8  # template is P×P feature bins
     search_factor: float = 2.0  # search window side = factor × box side
     dtype: jnp.dtype = jnp.bfloat16
+    # Scale adaptation (FCN-tracker style): correlate at num_scales box
+    # scales per step, adopt the best peak's scale with damping. 1 = off.
+    num_scales: int = 1
+    scale_step: float = 1.05
+    scale_damping: float = 0.5
+    scale_penalty: float = 0.975  # multiplier on non-unity scale peaks
 
     @property
     def search_pool(self) -> int:

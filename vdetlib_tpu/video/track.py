@@ -94,23 +94,58 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
     P = cfg.template_pool
     R = Q - P + 1
 
+    S = max(int(cfg.num_scales), 1)
+    scale_factors = jnp.asarray(
+        [cfg.scale_step ** (s - (S - 1) / 2.0) for s in range(S)], jnp.float32
+    )
+
     def step(carry, inp):
         feat_t, t = inp
         box, alive = carry
         started = t == anchor_t
         box = jnp.where(started, anchor_box, box)
         alive = jnp.logical_or(alive, started)
-        win = search_window(box, cfg.search_factor)
-        sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
-        resp = correlate(template, sfeat)  # (R, R)
-        py, px, peak = soft_argmax_2d(resp)
-        # displacement of the response peak from the window center, in bins;
-        # bin size = window extent / Q pixels.
-        wx = (win[2] - win[0]) / Q
-        wy = (win[3] - win[1]) / Q
-        dx = (px - (R - 1) / 2.0) * wx
-        dy = (py - (R - 1) / 2.0) * wy
-        new_box = box + jnp.stack([dx, dy, dx, dy])
+
+        def at_scale(s):
+            # box resized by s around its center, then the usual NCC search
+            cx = 0.5 * (box[0] + box[2])
+            cy = 0.5 * (box[1] + box[3])
+            w = (box[2] - box[0]) * s
+            h = (box[3] - box[1]) * s
+            sbox = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+            win = search_window(sbox, cfg.search_factor)
+            sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
+            resp = correlate(template, sfeat)  # (R, R)
+            py, px, peak = soft_argmax_2d(resp)
+            wx = (win[2] - win[0]) / Q
+            wy = (win[3] - win[1]) / Q
+            dx = (px - (R - 1) / 2.0) * wx
+            dy = (py - (R - 1) / 2.0) * wy
+            cand = sbox + jnp.stack([dx, dy, dx, dy])
+            return peak, cand
+
+        if S == 1:
+            peak, new_box = at_scale(jnp.float32(1.0))
+        else:
+            peaks, cands = jax.vmap(at_scale)(scale_factors)  # (S,), (S, 4)
+            # standard scale-change penalty: prefer the current scale unless
+            # another is clearly better
+            penalty = jnp.where(
+                jnp.abs(scale_factors - 1.0) < 1e-6, 1.0, cfg.scale_penalty
+            )
+            best = jnp.argmax(peaks * penalty)
+            peak = peaks[best]
+            raw = cands[best]
+            # damp the scale change: blend the winning box's size with the
+            # carried size (position from the winner)
+            d = cfg.scale_damping
+            rcx = 0.5 * (raw[0] + raw[2])
+            rcy = 0.5 * (raw[1] + raw[3])
+            rw = (raw[2] - raw[0]) * d + (box[2] - box[0]) * (1 - d)
+            rh = (raw[3] - raw[1]) * d + (box[3] - box[1]) * (1 - d)
+            new_box = jnp.stack(
+                [rcx - rw / 2, rcy - rh / 2, rcx + rw / 2, rcy + rh / 2]
+            )
         track_now = alive & (t != anchor_t)
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive & ok, alive)
