@@ -11,7 +11,7 @@ the float cast happen on device (nn/detector.py::preprocess_images).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterable, Iterator, Optional, Sequence
+from typing import Iterator, Optional
 
 import numpy as np
 

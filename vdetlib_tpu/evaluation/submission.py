@@ -7,7 +7,7 @@ globally across the evaluated video set.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 
 def submission_lines(

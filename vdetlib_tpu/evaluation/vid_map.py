@@ -10,7 +10,7 @@ area under the interpolated precision-recall curve (all-points, VOC2010+).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

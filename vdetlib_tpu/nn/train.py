@@ -125,8 +125,6 @@ def make_training_batch(sv, rng: np.random.Generator, opts, num_classes: int):
     Samples jittered-GT + random ROIs per frame and assigns targets.
     Returns the dict expected by train_step.
     """
-    from vdetlib_tpu.data.synth import box_proto as make_box_proto
-
     T = sv.frames.shape[0]
     B, R = opts.batch_size, opts.max_rois
     idx = rng.choice(T, size=B, replace=T < B)

@@ -17,8 +17,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from vdetlib_tpu.protos.accessors import det_score
-
 
 def _frame_index_map(frame_ids: Sequence[int]) -> dict[int, int]:
     return {int(f): i for i, f in enumerate(frame_ids)}

@@ -21,9 +21,9 @@ import numpy as np
 
 from vdetlib_tpu.data.loader import FrameLoader
 from vdetlib_tpu.geometry.boxes import apply_deltas, clip_boxes
-from vdetlib_tpu.nn.detector import Detector, DetectorConfig, preprocess_images
+from vdetlib_tpu.nn.detector import Detector, preprocess_images
 from vdetlib_tpu.protos.accessors import boxes_at_frame
-from vdetlib_tpu.utils.log import StageMetrics, get_logger
+from vdetlib_tpu.utils.log import StageMetrics
 
 
 @dataclass(frozen=True)
