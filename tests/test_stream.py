@@ -1,0 +1,103 @@
+"""Streaming pipeline: chunked processing with carried tracker state."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vdetlib_tpu.data.synth import SynthConfig, make_video
+from vdetlib_tpu.nn.detector import init_detector
+from vdetlib_tpu.nn.presets import detector_preset
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.utils.common import iou
+from vdetlib_tpu.video.stream import StreamOptions, stream_video, track_chunk
+from vdetlib_tpu.video.track import init_tracker, tracker_features, extract_template
+
+HW = (96, 128)
+C = 4
+R = 16
+
+
+@pytest.fixture(scope="module")
+def models():
+    det_cfg = detector_preset("tiny", num_classes=C)
+    det_model, det_params = init_detector(det_cfg, HW, max_rois=R, seed=0)
+    trk_cfg = TrackerConfig()
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=HW, seed=0)
+    return det_model, det_params, trk_model, trk_params, trk_cfg
+
+
+def test_track_chunk_carries_state(models):
+    """Chunked tracking ≈ one-shot tracking over the concatenated frames."""
+    _, _, trk_model, trk_params, trk_cfg = models
+    sv = make_video(SynthConfig(num_frames=16, height=HW[0], width=HW[1], seed=31, max_speed=2.0))
+    feats = tracker_features(trk_model, trk_params, jnp.asarray(sv.frames))
+    box0 = jnp.asarray(sv.gt_boxes[0, 0])
+    tmpl = extract_template(feats[0], box0, trk_cfg)[None]
+    # one shot over frames 1..15
+    b_all, c_all, a_all, be, ae = track_chunk(
+        trk_cfg, feats[1:], tmpl, box0[None], jnp.asarray([True]), 0.2
+    )
+    # two chunks: 1..8, then 9..15 with carried state
+    b1, c1, a1, be1, ae1 = track_chunk(
+        trk_cfg, feats[1:9], tmpl, box0[None], jnp.asarray([True]), 0.2
+    )
+    b2, c2, a2, be2, ae2 = track_chunk(
+        trk_cfg, feats[9:], tmpl, be1, ae1, 0.2
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_all[0]), np.concatenate([np.asarray(b1[0]), np.asarray(b2[0])]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a_all[0]),
+        np.concatenate([np.asarray(a1[0]), np.asarray(a2[0])]),
+    )
+
+
+def test_stream_video_end_to_end(models):
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+    T = 24
+    sv = make_video(
+        SynthConfig(num_frames=T, height=HW[0], width=HW[1], num_classes=C,
+                    seed=32, max_speed=2.0)
+    )
+    rng = np.random.default_rng(0)
+    # proposals: jittered GT + randoms per frame
+    rois = np.zeros((T, R, 4), np.float32)
+    K = sv.gt_boxes.shape[0]
+    for t in range(T):
+        n = 0
+        for k in range(K):
+            for _ in range(3):
+                rois[t, n] = np.clip(
+                    sv.gt_boxes[k, t] + rng.normal(0, 2, 4),
+                    0, [HW[1]-1, HW[0]-1, HW[1]-1, HW[0]-1],
+                )
+                n += 1
+        while n < R:
+            x1, y1 = rng.uniform(0, HW[1]-20), rng.uniform(0, HW[0]-20)
+            rois[t, n] = [x1, y1, x1 + rng.uniform(10, 50), y1 + rng.uniform(10, 50)]
+            n += 1
+
+    def chunks():
+        for s in range(0, T, 8):
+            yield sv.frames[s : s + 8]
+
+    opts = StreamOptions(
+        chunk=8, max_rois=R, num_classes=C, track_slots=6, seed_thresh=0.2,
+        conf_thresh=0.2, max_paths=20,
+    )
+    out = stream_video(
+        det_model, det_params, trk_model, trk_params, trk_cfg,
+        chunks(), rois, opts,
+    )
+    assert out["num_frames"] == T
+    assert out["boxes"].shape == (T, R, 4)
+    assert out["seq_scores"].shape == (C - 1, T, R)
+    # tracks were seeded and carried across chunk boundaries
+    assert len(out["tracks"]) >= 1
+    spans = [
+        (min(t for t, _, _ in seg), max(t for t, _, _ in seg))
+        for seg in out["tracks"].values()
+    ]
+    assert any(hi - lo >= 10 for lo, hi in spans), spans  # crosses ≥1 boundary

@@ -73,6 +73,62 @@ def tracker_features(model: TrackerNet, params, frames_u8):
     return model.apply(params, x)
 
 
+def ncc_update(feat_t, box, template, cfg):
+    """One NCC tracking update at one frame (shared by batch + streaming).
+
+    Args:
+      feat_t: (h, w, C) tracker features of the target frame.
+      box: (4,) current box; template: (P, P, C) normalized.
+    Returns:
+      (new_box_candidate (4,), peak confidence) — no alive logic here.
+    """
+    Q = cfg.search_pool
+    P = cfg.template_pool
+    R = Q - P + 1
+    S = max(int(cfg.num_scales), 1)
+    scale_factors = jnp.asarray(
+        [cfg.scale_step ** (s - (S - 1) / 2.0) for s in range(S)], jnp.float32
+    )
+
+    def at_scale(s):
+        # box resized by s around its center, then the usual NCC search
+        cx = 0.5 * (box[0] + box[2])
+        cy = 0.5 * (box[1] + box[3])
+        w = (box[2] - box[0]) * s
+        h = (box[3] - box[1]) * s
+        sbox = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
+        win = search_window(sbox, cfg.search_factor)
+        sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
+        resp = correlate(template, sfeat)  # (R, R)
+        py, px, peak = soft_argmax_2d(resp)
+        wx = (win[2] - win[0]) / Q
+        wy = (win[3] - win[1]) / Q
+        dx = (px - (R - 1) / 2.0) * wx
+        dy = (py - (R - 1) / 2.0) * wy
+        cand = sbox + jnp.stack([dx, dy, dx, dy])
+        return peak, cand
+
+    if S == 1:
+        return_peak, new_box = at_scale(jnp.float32(1.0))
+        return new_box, return_peak
+    peaks, cands = jax.vmap(at_scale)(scale_factors)  # (S,), (S, 4)
+    # standard scale-change penalty: prefer the current scale unless another
+    # is clearly better
+    penalty = jnp.where(jnp.abs(scale_factors - 1.0) < 1e-6, 1.0, cfg.scale_penalty)
+    best = jnp.argmax(peaks * penalty)
+    peak = peaks[best]
+    raw = cands[best]
+    # damp the scale change: blend the winning box's size with the carried
+    # size (position from the winner)
+    d = cfg.scale_damping
+    rcx = 0.5 * (raw[0] + raw[2])
+    rcy = 0.5 * (raw[1] + raw[3])
+    rw = (raw[2] - raw[0]) * d + (box[2] - box[0]) * (1 - d)
+    rh = (raw[3] - raw[1]) * d + (box[3] - box[1]) * (1 - d)
+    new_box = jnp.stack([rcx - rw / 2, rcy - rh / 2, rcx + rw / 2, rcy + rh / 2])
+    return new_box, peak
+
+
 def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse):
     """Scan over the full frame axis for one anchor, one direction.
 
@@ -90,14 +146,6 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
     if reverse:
         feats = feats[::-1]
         ts = ts[::-1]
-    Q = cfg.search_pool
-    P = cfg.template_pool
-    R = Q - P + 1
-
-    S = max(int(cfg.num_scales), 1)
-    scale_factors = jnp.asarray(
-        [cfg.scale_step ** (s - (S - 1) / 2.0) for s in range(S)], jnp.float32
-    )
 
     def step(carry, inp):
         feat_t, t = inp
@@ -105,47 +153,7 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
         started = t == anchor_t
         box = jnp.where(started, anchor_box, box)
         alive = jnp.logical_or(alive, started)
-
-        def at_scale(s):
-            # box resized by s around its center, then the usual NCC search
-            cx = 0.5 * (box[0] + box[2])
-            cy = 0.5 * (box[1] + box[3])
-            w = (box[2] - box[0]) * s
-            h = (box[3] - box[1]) * s
-            sbox = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
-            win = search_window(sbox, cfg.search_factor)
-            sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
-            resp = correlate(template, sfeat)  # (R, R)
-            py, px, peak = soft_argmax_2d(resp)
-            wx = (win[2] - win[0]) / Q
-            wy = (win[3] - win[1]) / Q
-            dx = (px - (R - 1) / 2.0) * wx
-            dy = (py - (R - 1) / 2.0) * wy
-            cand = sbox + jnp.stack([dx, dy, dx, dy])
-            return peak, cand
-
-        if S == 1:
-            peak, new_box = at_scale(jnp.float32(1.0))
-        else:
-            peaks, cands = jax.vmap(at_scale)(scale_factors)  # (S,), (S, 4)
-            # standard scale-change penalty: prefer the current scale unless
-            # another is clearly better
-            penalty = jnp.where(
-                jnp.abs(scale_factors - 1.0) < 1e-6, 1.0, cfg.scale_penalty
-            )
-            best = jnp.argmax(peaks * penalty)
-            peak = peaks[best]
-            raw = cands[best]
-            # damp the scale change: blend the winning box's size with the
-            # carried size (position from the winner)
-            d = cfg.scale_damping
-            rcx = 0.5 * (raw[0] + raw[2])
-            rcy = 0.5 * (raw[1] + raw[3])
-            rw = (raw[2] - raw[0]) * d + (box[2] - box[0]) * (1 - d)
-            rh = (raw[3] - raw[1]) * d + (box[3] - box[1]) * (1 - d)
-            new_box = jnp.stack(
-                [rcx - rw / 2, rcy - rh / 2, rcx + rw / 2, rcy + rh / 2]
-            )
+        new_box, peak = ncc_update(feat_t, box, template, cfg)
         track_now = alive & (t != anchor_t)
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive & ok, alive)
