@@ -103,3 +103,16 @@ def test_batched_nms_consistent(rng):
 
 def test_host_empty():
     assert nms_host(np.zeros((0, 5), np.float32), 0.3) == []
+
+
+@pytest.mark.parametrize("n", [7, 64, 200])
+def test_unsorted_fixpoint_matches_oracle(rng, n):
+    from vdetlib_tpu.kernels.nms import nms_unsorted_fixpoint
+
+    boxes, scores, dets = _problem(rng, n, tie_fraction=1.0)
+    want = set(oracle_nms(dets, 0.3))
+    keep = nms_unsorted_fixpoint(
+        jnp.asarray(boxes)[None], jnp.asarray(scores)[None], jnp.ones((1, n), bool), 0.3
+    )
+    got = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
+    assert got == want

