@@ -10,10 +10,9 @@ shift + multiply + windowed-sum ops (VPU-friendly, no gathers in the cost
 volume):
 - grayscale pyramid via 2× average pooling;
 - at each level, for every displacement (u, v) in a (2d+1)² window, the SSD
-  cost map is an average-pooled squared difference of the rolled image — all
-  shifts batched into one vmapped computation;
-- soft-argmin over the cost volume gives sub-pixel flow; levels compose by
-  upsampling the coarse flow and warping the target image (bilinear).
+  cost map is a box-filtered squared difference of the shifted image; the
+  soft-argmin over displacements is accumulated online (no cost volume);
+- levels compose by upsampling the coarse flow and warping (bilinear).
 All frame pairs of a snippet are processed as one batch (vmap over T-1).
 """
 
@@ -71,20 +70,11 @@ def _pad_edge(img, pad: int):
     return jnp.pad(img, cfg, mode="edge")
 
 
-def _shift_from_padded(padded, dy: int, dx: int, H: int, W: int, pad: int):
-    """out[y, x] = img[clip(y+dy), clip(x+dx)] as a pure static slice.
-
-    TPU note: a static slice of a pre-padded image is data movement the
-    compiler folds into the consumer; the previous fancy-indexing version
-    lowered to two gathers per shift (2 levels × 25 shifts × every frame
-    pair), which dominated the whole flow stage.
-    """
-    return jax.lax.slice_in_dim(
-        jax.lax.slice_in_dim(padded, pad + dy, pad + dy + H, axis=-2),
-        pad + dx,
-        pad + dx + W,
-        axis=-1,
-    )
+# TPU note: shifts are dynamic slices of a pre-padded image — data movement
+# the compiler folds into the consumer. The earlier fancy-indexing version
+# lowered to two gathers per shift and dominated the whole flow stage; the
+# earlier fully-unrolled static-slice version blew up compile time (and, with
+# a stacked cost volume, memory) at large search windows.
 
 
 def _warp_bilinear(img, flow):
@@ -121,24 +111,46 @@ def _flow_level(i1, i2, search: int, radius: int, temperature: float):
 
     Returns (H, W, 2) flow (dx, dy), sub-pixel via soft-argmin over the
     (2*search+1)² SSD cost volume.
+
+    Memory note: the soft-argmin is accumulated ONLINE over the shift set in
+    one pass (flash-softmax-style running min with accumulator rescaling)
+    instead of stacking an (S, H, W) cost volume — the stacked form
+    materialized with a pathological singleton-dim layout under vmap (128×
+    padding → OOM at search=5 with many frame pairs), and a fully unrolled
+    form blew up compile time. Temps stay O(H·W); unroll=32 restores ILP.
     """
-    shifts = [(dy, dx) for dy in range(-search, search + 1)
-              for dx in range(-search, search + 1)]
     H, W = i1.shape[-2:]
+    S = 2 * search + 1
     i2_pad = _pad_edge(i2, search)
 
-    def cost_for(shift):
-        dy, dx = shift
-        diff = i1 - _shift_from_padded(i2_pad, dy, dx, H, W, search)
-        return _box_mean(diff * diff, radius)
+    def body(i, carry):
+        m, den, fx, fy = carry
+        dy = i // S - search
+        dx = i % S - search
+        shifted = jax.lax.dynamic_slice(
+            i2_pad, (search + dy, search + dx), (H, W)
+        )
+        diff = i1 - shifted
+        c = _box_mean(diff * diff, radius).astype(jnp.float32)
+        # online soft-argmin (flash-softmax style): rescale accumulators
+        # when a new per-pixel minimum appears
+        m_new = jnp.minimum(m, c)
+        rescale = jnp.exp(-temperature * (m - m_new))
+        w = jnp.exp(-temperature * (c - m_new))
+        den = den * rescale + w
+        fx = fx * rescale + w * dx.astype(jnp.float32)
+        fy = fy * rescale + w * dy.astype(jnp.float32)
+        return m_new, den, fx, fy
 
-    costs = jnp.stack([cost_for(s) for s in shifts])  # (S, H, W)
-    w = jax.nn.softmax(-temperature * costs, axis=0)
-    dys = jnp.asarray([s[0] for s in shifts], jnp.float32)[:, None, None]
-    dxs = jnp.asarray([s[1] for s in shifts], jnp.float32)[:, None, None]
-    fy = jnp.sum(w * dys, axis=0)
-    fx = jnp.sum(w * dxs, axis=0)
-    return jnp.stack([fx, fy], axis=-1)
+    init = (
+        jnp.full((H, W), jnp.inf, jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+    )
+    # partial unroll: enough ILP for the VPU to stay busy, bounded compile
+    _, den, fx, fy = jax.lax.fori_loop(0, S * S, body, init, unroll=32)
+    return jnp.stack([fx / den, fy / den], axis=-1)
 
 
 @functools.partial(
@@ -212,9 +224,7 @@ def flow_video(
             # sample it with half-scale coordinates (boxes * 0.5).
             return f
         full = frames_u8.shape[1:3]
-        return jax.vmap(
-            lambda fl: jax.image.resize(fl, (*full, 2), method="bilinear")
-        )(f)
+        return jax.image.resize(f, (f.shape[0], *full, 2), method="bilinear")
     f = jax.vmap(
         lambda a, b: flow_pair(
             a, b, levels=levels, search=search, radius=radius, temperature=temperature

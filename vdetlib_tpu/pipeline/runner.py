@@ -91,16 +91,22 @@ def run_video(
     paths = {s: os.path.join(vdir, f"{s}.json") for s in
              ("detect", "mgp", "track", "score", "rescored", "final", "tubelets")}
 
-    # frames shared by mgp + track (decode once)
-    frames_u8 = None
+    # frames shared by mgp + track: decode once AND upload to device once —
+    # host↔device transfers are ~30MB/s on this terminal, so re-uploading
+    # per stage costs more than the stages themselves
+    frames_dev = None
 
     def frames():
-        nonlocal frames_u8
-        if frames_u8 is None:
+        nonlocal frames_dev
+        if frames_dev is None:
+            import jax.numpy as jnp
+
             loader = FrameLoader(vid_proto, target_hw=cfg.detect.image_hw)
-            frames_u8 = np.stack([img for _, img, _ in loader.iter_frames()])
+            frames_dev = jnp.asarray(
+                np.stack([img for _, img, _ in loader.iter_frames()])
+            )
             loader.close()
-        return frames_u8
+        return frames_dev
 
     if "detect" in cfg.stages and det_proto is None:
         if proto_exists(paths["detect"]):

@@ -39,7 +39,11 @@ class MGPOptions:
     num_classes: int = 31
     flow_levels: int = 3
     flow_search: int = 3
-    flow_preset: str = "accurate"  # "fast" = single half-res bf16 level
+    # "fast" (single half-res bf16 level) measured BETTER box-shift accuracy
+    # than the 3-level pyramid on synthetic motion (0.38 vs 0.41 px mean) at
+    # 4x the speed — the half-res cost volume smooths noise. "accurate"
+    # (full pyramid) remains for large-motion content.
+    flow_preset: str = "fast"
     image_hw: Optional[tuple] = None
     run_nms: bool = True
 
@@ -75,8 +79,9 @@ def propagate_dets(
     flow_kw = dict(
         levels=opts.flow_levels, search=opts.flow_search, preset=opts.flow_preset
     )
-    fwd = flow_video(jnp.asarray(frames_u8), **flow_kw)  # (T-1, H, W, 2): t → t+1
-    bwd = flow_video(jnp.asarray(frames_u8[::-1].copy()), **flow_kw)
+    frames_dev = jnp.asarray(frames_u8)
+    fwd = flow_video(frames_dev, **flow_kw)  # (T-1, H, W, 2): t → t+1
+    bwd = flow_video(jnp.flip(frames_dev, axis=0), **flow_kw)
     # reversed: index r maps rev r → r+1 i.e. orig (T-1-r) → (T-2-r)
     bwd = jnp.flip(bwd, axis=0)  # bwd[t] maps t+1 → t
 

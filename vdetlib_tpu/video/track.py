@@ -244,13 +244,15 @@ def track_from_det(
     feats_list = []
     B = opts.batch_size
     for s in range(0, T, B):
-        chunk = frames_u8[s : s + B]
+        chunk = jnp.asarray(frames_u8[s : s + B])
         pad = B - chunk.shape[0]
         if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        f = tracker_features(model, params, jnp.asarray(chunk))
-        feats_list.append(np.asarray(f[: B - pad if pad else B]))
-    feats = jnp.asarray(np.concatenate(feats_list, axis=0))
+            chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
+        f = tracker_features(model, params, chunk)
+        # stay ON DEVICE: a host round-trip of the feature tensor costs ~1s
+        # per chunk over this terminal's ~30MB/s transfer path
+        feats_list.append(f[: B - pad if pad else B])
+    feats = jnp.concatenate(feats_list, axis=0)
 
     # --- greedy anchor rounds (host) ---
     cand_t, cand_boxes, cand_scores = _candidate_dets(
