@@ -149,7 +149,7 @@ def _flow_level(i1, i2, search: int, radius: int, temperature: float):
         jnp.zeros((H, W), jnp.float32),
     )
     # partial unroll: enough ILP for the VPU to stay busy, bounded compile
-    _, den, fx, fy = jax.lax.fori_loop(0, S * S, body, init, unroll=32)
+    _, den, fx, fy = jax.lax.fori_loop(0, S * S, body, init, unroll=64)
     return jnp.stack([fx / den, fy / den], axis=-1)
 
 
