@@ -178,6 +178,43 @@ def test_det_vid_device_resize(tiny_model, tmp_path):
     assert len(common) > 0.5 * len(keyset(det_host))
 
 
+def test_det_vid_pyramid(tiny_model, tmp_path):
+    """Multi-scale pyramid scoring: scores are max over scales ≥ single-scale."""
+    model, params = tiny_model
+    sv = make_video(
+        SynthConfig(
+            num_frames=4, height=IMAGE_HW[0], width=IMAGE_HW[1], seed=6,
+            proposals_per_frame=MAX_ROIS,
+        ),
+        video="pyr",
+    )
+    vid = write_frames(sv, str(tmp_path))
+    bp = box_proto(sv)
+    from vdetlib_tpu.video.detect import DetectOptions, det_vid
+
+    base = dict(batch_size=2, max_rois=MAX_ROIS, image_hw=IMAGE_HW, score_thresh=0.0)
+    single = det_vid(model, params, vid, bp, DetectOptions(**base))
+    pyr = det_vid(
+        model, params, vid, bp, DetectOptions(**base, pyramid=(0.75, 1.0, 1.25))
+    )
+    assert len(pyr["detections"]) > 0
+
+    def best_by_key(proto):
+        out = {}
+        for d in proto["detections"]:
+            for s in d["scores"]:
+                k = (d["frame"], s["class_index"])
+                out[k] = max(out.get(k, 0.0), s["score"])
+        return out
+
+    b_single, b_pyr = best_by_key(single), best_by_key(pyr)
+    common = set(b_single) & set(b_pyr)
+    assert common
+    # pyramid max-pooling can only raise the best score per (frame, class)
+    raised = sum(b_pyr[k] + 1e-5 >= b_single[k] for k in common)
+    assert raised == len(common)
+
+
 def test_checkpoint_roundtrip(tiny_model, tmp_path):
     model, params = tiny_model
     from vdetlib_tpu.pipeline.checkpoint import load_params, save_params

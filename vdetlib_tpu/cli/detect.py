@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--max_rois", type=int, default=128)
     p.add_argument("--score_thresh", type=float, default=0.005)
     p.add_argument("--no_regress", action="store_true")
+    p.add_argument("--pyramid", type=float, nargs="+", default=[1.0],
+                   help="image pyramid scales (scores max-pooled over scales)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--overwrite", action="store_true")
     args = p.parse_args(argv)
@@ -55,6 +57,7 @@ def main(argv=None) -> int:
         image_hw=tuple(args.image_hw),
         score_thresh=args.score_thresh,
         regress=not args.no_regress,
+        pyramid=tuple(args.pyramid),
     )
     det = det_vid(model, params, vid, boxes, opts)
     proto_dump(det, args.output)

@@ -38,6 +38,50 @@ class DetectOptions:
     # frames cross PCIe at native resolution as uint8; host cv2 resize is
     # skipped. Requires constant native frame size within a video.
     device_resize: bool = False
+    # Image pyramid (reference det_fun ran multi-scale): each entry scales
+    # the network input; per-box scores are max-pooled over scales on device.
+    # (1.0,) = single scale.
+    pyramid: tuple = (1.0,)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "regress", "net_hw", "pyramid")
+)
+def _detect_step_pyramid(
+    model: Detector, params, images_u8, rois, regress: bool, pyramid: tuple,
+    net_hw=None,
+):
+    """Multi-scale detection: run the net at each pyramid scale and max-pool.
+
+    Scores are per-(box, class) maxima over scales (the reference's pyramid
+    scoring); regressed boxes come from the best-scoring scale's deltas.
+    """
+    from vdetlib_tpu.kernels.preprocess import fused_resize_normalize
+
+    base_hw = net_hw if net_hw is not None else images_u8.shape[1:3]
+    all_probs, all_boxes = [], []
+    for s in pyramid:
+        hw = (
+            max(int(round(base_hw[0] * s / 16)) * 16, 16),
+            max(int(round(base_hw[1] * s / 16)) * 16, 16),
+        )
+        sc = jnp.asarray(
+            [hw[1] / base_hw[1], hw[0] / base_hw[0]] * 2, jnp.float32
+        )  # per-axis [sx, sy, sx, sy]
+        probs_s, boxes_s = _detect_step(
+            model, params, images_u8, rois * sc, regress, net_hw=hw
+        )
+        # boxes back to base scale
+        all_probs.append(probs_s)
+        all_boxes.append(boxes_s / sc)
+    probs = jnp.stack(all_probs)  # (S, B, R, K)
+    boxes = jnp.stack(all_boxes)
+    best = jnp.argmax(probs, axis=0)  # (B, R, K)
+    probs = jnp.max(probs, axis=0)
+    boxes = jnp.take_along_axis(
+        boxes, best[None, ..., None].repeat(4, -1), axis=0
+    )[0]
+    return probs, boxes
 
 
 @functools.partial(jax.jit, static_argnames=("model", "regress", "net_hw"))
@@ -170,14 +214,18 @@ def det_vid(
             for ri, bb in enumerate(props):
                 rois[bi, ri] = [bb[0] * sx, bb[1] * sy, bb[2] * sx, bb[3] * sy]
                 mask[bi, ri] = True
-        probs_dev, boxes_dev = _detect_step(
-            model,
-            params,
-            jnp.asarray(images),
-            jnp.asarray(rois),
-            opts.regress,
-            net_hw=opts.image_hw if opts.device_resize else None,
-        )
+        net_hw = opts.image_hw if opts.device_resize else None
+        if tuple(opts.pyramid) != (1.0,):
+            probs_dev, boxes_dev = _detect_step_pyramid(
+                model, params, jnp.asarray(images), jnp.asarray(rois),
+                opts.regress, tuple(opts.pyramid),
+                net_hw=net_hw or tuple(opts.image_hw),
+            )
+        else:
+            probs_dev, boxes_dev = _detect_step(
+                model, params, jnp.asarray(images), jnp.asarray(rois),
+                opts.regress, net_hw=net_hw,
+            )
         if pending is not None:
             emit(*pending)
         pending = (fids, scales, mask, probs_dev, boxes_dev)
