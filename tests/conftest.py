@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# small flow-loop unroll: unrolled XLA compiles dominate CPU suite time
+os.environ.setdefault("VDETLIB_TPU_FLOW_UNROLL", "4")
 
 # The axon TPU terminal's sitecustomize forces jax_platforms="axon,cpu" at
 # interpreter boot (ignoring the JAX_PLATFORMS env var), which would run the

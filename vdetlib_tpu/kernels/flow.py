@@ -19,9 +19,15 @@ All frame pairs of a snippet are processed as one batch (vmap over T-1).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# ILP-vs-compile-time knob for the shift loop: 64 keeps the TPU's VPU busy
+# (bench-validated); tests set this lower — unrolled XLA compiles are the
+# dominant cost of the CPU suite.
+_FLOW_UNROLL = int(os.environ.get("VDETLIB_TPU_FLOW_UNROLL", "64"))
 
 
 def to_gray(frames_u8):
@@ -149,7 +155,7 @@ def _flow_level(i1, i2, search: int, radius: int, temperature: float):
         jnp.zeros((H, W), jnp.float32),
     )
     # partial unroll: enough ILP for the VPU to stay busy, bounded compile
-    _, den, fx, fy = jax.lax.fori_loop(0, S * S, body, init, unroll=64)
+    _, den, fx, fy = jax.lax.fori_loop(0, S * S, body, init, unroll=min(_FLOW_UNROLL, S * S))
     return jnp.stack([fx / den, fy / den], axis=-1)
 
 
