@@ -105,6 +105,28 @@ def test_pipeline_map_reasonable(tmp_path, models, cfg):
     assert mp > 0.4, (mp, aps)
 
 
+def test_perturb_stage(tmp_path, models, cfg):
+    """Optional perturb stage runs between track and rescore."""
+    from dataclasses import replace
+    from vdetlib_tpu.video.perturb import PerturbOptions
+
+    (sv, vid), = _dataset(tmp_path, n=1)
+    m, _ = models
+    pcfg = replace(
+        cfg,
+        perturb=PerturbOptions(num_perturb=3),
+        stages=("detect", "mgp", "track", "perturb", "rescore", "seq_nms"),
+    )
+    paths = run_video(str(tmp_path / "workp"), vid, box_proto(sv), m, pcfg)
+    assert os.path.exists(paths["perturbed"])
+    tp = proto_load(paths["perturbed"])
+    assert any(
+        "perturb_scores" in b for track in tp["tracks"] for b in
+        (track["boxes"] if isinstance(track, dict) else track)
+    )
+    assert os.path.exists(paths["final"])
+
+
 def test_run_videos_batch(tmp_path, models, cfg):
     data = _dataset(tmp_path, n=2)
     m, _ = models

@@ -37,6 +37,9 @@ class PipelineConfig:
     tracker_cfg: TrackerConfig = field(default_factory=TrackerConfig)
     rescore: RescoreOptions = field(default_factory=RescoreOptions)
     link: LinkOptions = field(default_factory=LinkOptions)
+    # optional "perturb" stage (between track and rescore): tubelet box
+    # perturbation + detector max-pooling (video/perturb.py)
+    perturb: object = None  # PerturbOptions or None
     stages: tuple = ("detect", "mgp", "track", "rescore", "seq_nms")
 
 
@@ -89,7 +92,8 @@ def run_video(
     vdir = os.path.join(workdir, video)
     os.makedirs(vdir, exist_ok=True)
     paths = {s: os.path.join(vdir, f"{s}.json") for s in
-             ("detect", "mgp", "track", "score", "rescored", "final", "tubelets")}
+             ("detect", "mgp", "track", "perturbed", "score", "rescored",
+              "final", "tubelets")}
 
     # frames shared by mgp + track: decode once AND upload to device once —
     # host↔device transfers are ~30MB/s on this terminal, so re-uploading
@@ -136,6 +140,23 @@ def run_video(
                 cfg.tracker_cfg, cfg.track, frames_u8=frames(),
             )
             proto_dump(track_proto, paths["track"])
+
+    if "perturb" in cfg.stages and track_proto is not None and cfg.perturb is not None:
+        if proto_exists(paths["perturbed"]):
+            track_proto = proto_load(paths["perturbed"])
+        else:
+            from vdetlib_tpu.video.perturb import perturb_rescore_track_proto
+
+            frame_ids = [f["frame"] for f in vid_proto["frames"]]
+            track_proto = perturb_rescore_track_proto(
+                models.detector,
+                models.detector_params,
+                np.asarray(frames()),
+                track_proto,
+                frame_ids,
+                cfg.perturb,
+            )
+            proto_dump(track_proto, paths["perturbed"])
 
     if "rescore" in cfg.stages and track_proto is not None:
         if proto_exists(paths["rescored"]):
