@@ -82,7 +82,8 @@ def fused_resize_normalize_pallas(
         # channels are static sublane slices → two clean MXU matmuls each,
         # no in-kernel transposes; the mean is folded in as a constant.
         for c in range(C):
-            ch = img_ref[0, c].astype(jnp.float32)  # (H, W)
+            # Mosaic has no direct uint8→f32 cast; hop through int32
+            ch = img_ref[0, c].astype(jnp.int32).astype(jnp.float32)  # (H, W)
             rows = jnp.dot(wy_ref[:], ch, preferred_element_type=jnp.float32)
             res = jnp.dot(rows, wxt_ref[:], preferred_element_type=jnp.float32)
             out_ref[0, c] = (res - pixel_mean[c]) * pixel_scale
