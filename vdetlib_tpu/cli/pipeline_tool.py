@@ -28,7 +28,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--mgp_window", type=int, default=1)
     p.add_argument("--max_tracks", type=int, default=16)
-    p.add_argument("--stages", default="detect,mgp,track,rescore,seq_nms")
+    p.add_argument("--stages", default="detect,mgp,track,rescore,seq_nms",
+                   help="comma list; insert 'perturb' after track to enable "
+                        "tubelet box perturbation + detector max-pooling")
+    p.add_argument("--perturb_n", type=int, default=8,
+                   help="perturbations per tubelet box (perturb stage)")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
     p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
     p.add_argument("--seed", type=int, default=0)
@@ -62,6 +66,11 @@ def main(argv=None) -> int:
     if args.tracker_weights:
         trk_params = load_params(args.tracker_weights, template=trk_params)
 
+    perturb_opts = None
+    if "perturb" in args.stages.split(","):
+        from vdetlib_tpu.video.perturb import PerturbOptions
+
+        perturb_opts = PerturbOptions(num_perturb=args.perturb_n)
     cfg = PipelineConfig(
         detect=DetectOptions(
             batch_size=args.batch_size, max_rois=args.max_rois, image_hw=hw,
@@ -74,6 +83,7 @@ def main(argv=None) -> int:
         tracker_cfg=trk_cfg,
         rescore=RescoreOptions(num_classes=args.num_classes),
         link=LinkOptions(num_classes=args.num_classes),
+        perturb=perturb_opts,
         stages=tuple(args.stages.split(",")),
     )
     models = Models(det_model, det_params, trk_model, trk_params)
