@@ -70,7 +70,14 @@ def main():
     trk_cfg = TrackerConfig()
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=(H, W), seed=0)
 
-    cfg = FusedConfig(image_hw=(H, W), detect_batch=B, num_anchors=A)
+    cfg = FusedConfig(
+        image_hw=(H, W),
+        detect_batch=B,
+        feat_batch=B,
+        anchors_per_round=A,
+        max_tracks=A,  # one greedy round — matches the r1 bench's track budget
+        max_paths=32,
+    )
     pipeline = make_fused_pipeline(det_model, trk_model, trk_cfg, cfg)
 
     @jax.jit
@@ -79,7 +86,7 @@ def main():
         # scalar checksum — the host fetch is the execution fence
         return (
             jnp.sum(out.final_scores)
-            + jnp.sum(out.prop_boxes)
+            + jnp.sum(out.det_scores)
             + jnp.sum(out.tubelet_stats)
             + jnp.sum(out.track_conf)
         )

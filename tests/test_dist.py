@@ -59,7 +59,7 @@ def test_data_parallel_train_step_on_mesh():
 
 def test_psum_metrics_shard_map():
     mesh = make_mesh(8)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_shard(x):
         local = {"frames": jnp.sum(x), "videos": jnp.asarray(1.0)}
@@ -67,7 +67,7 @@ def test_psum_metrics_shard_map():
 
     x = jnp.arange(8.0)
     out = shard_map(
-        per_shard, mesh=mesh, in_specs=P("data"), out_specs=P(), check_rep=False
+        per_shard, mesh=mesh, in_specs=P("data"), out_specs=P()
     )(x)
     assert float(out["frames"]) == 28.0
     assert float(out["videos"]) == 8.0

@@ -1,4 +1,7 @@
-"""Fused pipeline API: single-snippet correctness + sharded multi-device run."""
+"""Fused pipeline API: single-snippet correctness + sharded multi-device run.
+
+(Fidelity vs the staged stages is locked separately in test_fused_parity.py.)
+"""
 
 import numpy as np
 import jax
@@ -15,6 +18,7 @@ from vdetlib_tpu.video.track import init_tracker
 
 HW = (96, 128)
 T, R, C, A = 8, 16, 4, 4
+NB = 24  # out_budget
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +27,10 @@ def setup():
     det_model, det_params = init_detector(det_cfg, HW, max_rois=R, seed=0)
     trk_cfg = TrackerConfig()
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=HW, seed=0)
-    cfg = FusedConfig(image_hw=HW, detect_batch=4, num_anchors=A, max_paths=16)
+    cfg = FusedConfig(
+        image_hw=HW, detect_batch=4, feat_batch=4, anchors_per_round=A,
+        max_tracks=A, max_paths=16, det_budget=NB, out_budget=NB,
+    )
     return det_model, det_params, trk_model, trk_params, trk_cfg, cfg
 
 
@@ -54,17 +61,24 @@ def test_fused_single(setup):
     frames, rois = _inputs(0)
     pipe = make_fused_pipeline(det_model, trk_model, trk_cfg, cfg)
     out = pipe(det_params, trk_params, jnp.asarray(frames[0]), jnp.asarray(rois[0]))
-    assert out.probs.shape == (T, R, C)
-    assert out.keep.shape == (T, C - 1, R)
-    assert out.final_scores.shape == (C - 1, T, R)
+    assert out.det_boxes.shape == (T, NB, 4)
+    assert out.det_scores.shape == (T, NB, C)
+    assert out.det_mask.shape == (T, NB)
+    assert out.final_scores.shape == (C - 1, T, NB)
+    assert out.path_ids.shape == (C - 1, T, NB)
     assert out.track_boxes.shape == (A, T, 4)
-    assert out.prop_boxes.shape == (T - 1, R, 4)
-    probs = np.asarray(out.probs)
-    assert np.isfinite(probs).all() and (probs >= 0).all() and (probs <= 1).all()
-    # seq-NMS output only keeps NMS survivors (or -1/0)
+    ds = np.asarray(out.det_scores)
+    assert np.isfinite(ds).all() and (ds >= 0).all() and (ds <= 1).all()
+    # unmasked slots carry no scores
+    mask = np.asarray(out.det_mask)
+    assert (ds[~mask] == 0).all()
+    # seq-NMS output scores only live on masked slots; suppressed are <= 0
     fs = np.asarray(out.final_scores)
-    keep = np.asarray(np.swapaxes(out.keep, 0, 1))
-    assert (fs[~keep] <= 0).all()
+    assert (fs[:, ~mask] <= 0).all()
+    assert int(out.n_tracks) >= 1
+    # every reported track has its anchor frame alive
+    alive = np.asarray(out.track_alive)
+    assert alive[: int(out.n_tracks)].any(axis=1).all()
 
 
 def test_fused_padded_bucket_matches_unpadded(setup):
@@ -79,15 +93,20 @@ def test_fused_padded_bucket_matches_unpadded(setup):
     assert fp.shape[0] == 2 * T and t_valid == T
     padded = pipe(det_params, trk_params, jnp.asarray(fp), jnp.asarray(rp), t_valid)
     np.testing.assert_array_equal(
-        np.asarray(padded.keep)[:T], np.asarray(base.keep)
+        np.asarray(padded.det_mask)[:T], np.asarray(base.det_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.det_scores)[:T], np.asarray(base.det_scores),
+        rtol=1e-4, atol=1e-4,
     )
     np.testing.assert_allclose(
         np.asarray(padded.final_scores)[:, :T],
         np.asarray(base.final_scores),
         rtol=1e-4, atol=1e-4,
     )
+    assert int(padded.n_tracks) == int(base.n_tracks)
     # nothing survives in the padded tail
-    assert not np.asarray(padded.keep)[T:].any()
+    assert not np.asarray(padded.det_mask)[T:].any()
     assert (np.asarray(padded.final_scores)[:, T:] <= 0).all()
 
 

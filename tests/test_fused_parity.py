@@ -1,0 +1,185 @@
+"""Fused-pipeline fidelity: the single-jit program must match the staged path.
+
+VERDICT r1 item #2: the benchmarked fused pipeline historically diverged from
+the staged (wire-compatible) stages — MGP output was dead, rescore/seq-NMS ran
+on raw rois. This test locks the unification: the fused program's final
+det_proto and tubelet track_proto equal the staged detect → MGP → track →
+rescore → seq-NMS stages' output at a matched config (float tolerance).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vdetlib_tpu.data.loader import FrameLoader
+from vdetlib_tpu.data.synth import SynthConfig, make_video, write_frames
+from vdetlib_tpu.nn.detector import init_detector
+from vdetlib_tpu.nn.presets import detector_preset
+from vdetlib_tpu.nn.tracker_net import TrackerConfig
+from vdetlib_tpu.pipeline.fused import (
+    FusedConfig,
+    fused_to_protos,
+    make_fused_pipeline,
+)
+from vdetlib_tpu.video.detect import DetectOptions, det_vid
+from vdetlib_tpu.video.link import LinkOptions, seq_nms_video
+from vdetlib_tpu.video.mgp import MGPOptions, mgp
+from vdetlib_tpu.video.rescore import RescoreOptions, tubelet_rescore
+from vdetlib_tpu.video.track import TrackOptions, init_tracker, track_from_det
+
+HW = (96, 128)
+T, R, C = 8, 12, 4
+BUDGET = 24
+
+
+@pytest.fixture(scope="module")
+def matched_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("parity")
+    sv = make_video(
+        SynthConfig(num_frames=T, height=HW[0], width=HW[1], num_classes=C, seed=7),
+        video="vid_parity",
+    )
+    vid_proto = write_frames(sv, str(tmp))
+
+    rng = np.random.default_rng(7)
+    rois = np.zeros((T, R, 4), np.float32)
+    for t in range(T):
+        x1 = rng.uniform(0, HW[1] - 10, R)
+        y1 = rng.uniform(0, HW[0] - 10, R)
+        w = rng.uniform(8, 60, R)
+        h = rng.uniform(8, 60, R)
+        rois[t] = np.stack(
+            [x1, y1, np.minimum(x1 + w, HW[1] - 1), np.minimum(y1 + h, HW[0] - 1)],
+            axis=1,
+        )
+    box_proto = {
+        "video": vid_proto["video"],
+        "boxes": [
+            {"frame": int(f["frame"]), "bbox": [float(v) for v in rois[t, r]]}
+            for t, f in enumerate(vid_proto["frames"])
+            for r in range(R)
+        ],
+    }
+
+    det_cfg = detector_preset("tiny", num_classes=C)
+    det_model, det_params = init_detector(det_cfg, HW, max_rois=R, seed=0)
+    trk_cfg = TrackerConfig()
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=HW, seed=0)
+
+    # frames exactly as the staged stages see them (decoded from disk)
+    loader = FrameLoader(vid_proto, target_hw=HW)
+    frames_u8 = np.stack([img for _, img, _ in loader.iter_frames()])
+    loader.close()
+
+    return dict(
+        vid_proto=vid_proto,
+        box_proto=box_proto,
+        rois=rois,
+        frames_u8=frames_u8,
+        det_model=det_model,
+        det_params=det_params,
+        trk_model=trk_model,
+        trk_params=trk_params,
+        trk_cfg=trk_cfg,
+    )
+
+
+def _staged_protos(s):
+    det_opts = DetectOptions(
+        batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.005, regress=True
+    )
+    mgp_opts = MGPOptions(
+        window=1, score_decay=0.9, nms_thresh=0.3, max_boxes=BUDGET,
+        num_classes=C, flow_preset="fast",
+    )
+    trk_opts = TrackOptions(
+        max_tracks=6, anchors_per_round=3, anchor_thresh=0.3, conf_thresh=0.5,
+        cover_thresh=0.5, batch_size=4, image_hw=HW,
+    )
+    res_opts = RescoreOptions(
+        match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=1.0,
+        max_boxes=BUDGET, num_classes=C, max_tracks=6,
+    )
+    link_opts = LinkOptions(
+        link_thresh=0.5, suppress_thresh=0.3, max_paths=8, rescore="avg",
+        max_boxes=BUDGET, num_classes=C, min_score=0.0, backend="device",
+    )
+    det_proto = det_vid(
+        s["det_model"], s["det_params"], s["vid_proto"], s["box_proto"], det_opts
+    )
+    cur = mgp(s["vid_proto"], det_proto, opts=mgp_opts, frames_u8=s["frames_u8"])
+    trk = track_from_det(
+        s["trk_model"], s["trk_params"], s["vid_proto"], cur, s["trk_cfg"],
+        trk_opts, frames_u8=s["frames_u8"],
+    )
+    _, cur = tubelet_rescore(s["vid_proto"], cur, trk, res_opts)
+    final, tubelets = seq_nms_video(s["vid_proto"], cur, link_opts)
+    return final, tubelets, trk
+
+
+def _fused_protos(s):
+    cfg = FusedConfig(
+        image_hw=HW, detect_batch=4, feat_batch=4, score_thresh=0.005,
+        mgp_window=1, mgp_decay=0.9, nms_thresh=0.3, det_budget=BUDGET,
+        out_budget=BUDGET, max_tracks=6, anchors_per_round=3, anchor_thresh=0.3,
+        track_conf=0.5, cover_thresh=0.5, rescore_match=0.5, top_ratio=0.5,
+        boost="max", bg_decay=1.0, link_thresh=0.5, suppress_thresh=0.3,
+        max_paths=8, link_rescore="avg", flow_preset="fast",
+    )
+    pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
+    out = pipe(
+        s["det_params"], s["trk_params"],
+        jnp.asarray(s["frames_u8"]), jnp.asarray(s["rois"]),
+    )
+    fids = [f["frame"] for f in s["vid_proto"]["frames"]]
+    det_proto, tubelets = fused_to_protos(out, fids, s["vid_proto"]["video"])
+    return det_proto, tubelets, out
+
+
+def _index_dets(proto):
+    """{(frame, class): [(score, bbox)]} sorted for order-insensitive compare."""
+    idx = {}
+    for d in proto["detections"]:
+        for sc in d["scores"]:
+            idx.setdefault((d["frame"], sc["class_index"]), []).append(
+                (sc["score"], tuple(d["bbox"]))
+            )
+    for v in idx.values():
+        v.sort()
+    return idx
+
+
+def test_fused_matches_staged_final_dets(matched_setup):
+    staged_det, staged_tub, _ = _staged_protos(matched_setup)
+    fused_det, fused_tub, _ = _fused_protos(matched_setup)
+
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    # the pipeline actually produced something to compare
+    assert len(staged_det["detections"]) > 0
+
+
+def test_fused_matches_staged_tubelets(matched_setup):
+    staged_det, staged_tub, _ = _staged_protos(matched_setup)
+    fused_det, fused_tub, _ = _fused_protos(matched_setup)
+    assert len(staged_tub["tracks"]) == len(fused_tub["tracks"]) > 0
+    for ta, tb in zip(staged_tub["tracks"], fused_tub["tracks"]):
+        assert len(ta) == len(tb)
+        for ea, eb in zip(ta, tb):
+            assert ea["frame"] == eb["frame"]
+            assert ea["class_index"] == eb["class_index"]
+            np.testing.assert_allclose(ea["score"], eb["score"], rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(ea["bbox"], eb["bbox"], rtol=1e-4, atol=1e-3)
+
+
+def test_fused_track_count_matches_staged(matched_setup):
+    _, _, staged_trk = _staged_protos(matched_setup)
+    _, _, out = _fused_protos(matched_setup)
+    assert int(out.n_tracks) == len(staged_trk["tracks"]) > 0

@@ -116,3 +116,32 @@ def test_unsorted_fixpoint_matches_oracle(rng, n):
     )
     got = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
     assert got == want
+
+
+def test_grouped_nms_matches_per_group_oracle(rng):
+    """nms_grouped == independent per-group greedy NMS (block-diagonal fixpoint)."""
+    from vdetlib_tpu.kernels.nms import nms_grouped
+
+    n, g_count = 96, 5
+    for trial in range(5):
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0.0, 1.0, n).astype(np.float32)
+        valid = rng.uniform(size=n) > 0.2
+        groups = rng.integers(0, g_count, n).astype(np.int32)
+        # a few exact score ties to exercise index tie-breaking within groups
+        scores[10] = scores[20] = scores[30]
+        keep = np.asarray(
+            nms_grouped(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                jnp.asarray(groups), 0.4,
+            )
+        )
+        want = np.zeros(n, bool)
+        for g in range(g_count):
+            idx = np.nonzero(valid & (groups == g))[0]
+            if idx.size == 0:
+                continue
+            dets = np.concatenate([boxes[idx], scores[idx, None]], axis=1)
+            for k in oracle_nms(dets, 0.4):
+                want[idx[k]] = True
+        np.testing.assert_array_equal(keep, want, err_msg=f"trial {trial}")

@@ -136,6 +136,7 @@ def nms_unsorted_fixpoint(
     valid: jax.Array,
     thresh: jax.Array | float,
     offset: float = LEGACY_OFFSET,
+    groups: jax.Array | None = None,
 ) -> jax.Array:
     """Sort-free greedy NMS — pure elementwise + MXU matvec, no gathers.
 
@@ -148,6 +149,13 @@ def nms_unsorted_fixpoint(
     scatter that dominate the sorted formulations on TPU. Exact keep-set
     parity with the oracle.
 
+    With ``groups`` (an (..., N) int array), suppression additionally requires
+    ``groups[i] == groups[j]`` — the single fixpoint then solves every group's
+    independent NMS problem at once on the block-diagonal adjacency (one
+    (N, N) IoU for all groups). Exactly equals running per-group NMS on each
+    group's subsequence: the precedence relation restricted to a group
+    preserves that group's (score desc, index asc) visit order.
+
     boxes: (..., N, 4); scores/valid: (..., N) → keep (..., N) bool.
     """
     n = boxes.shape[-2]
@@ -157,7 +165,10 @@ def nms_unsorted_fixpoint(
         (s[..., None, :] == s[..., :, None]) & (idx[None, :] < idx[:, None])
     )  # prec[i, j] ⇔ j visits before i
     iou = pairwise_iou(boxes, boxes, offset=offset)
-    m = ((iou > thresh) & prec & valid[..., None, :]).astype(jnp.float32)
+    m = (iou > thresh) & prec & valid[..., None, :]
+    if groups is not None:
+        m = m & (groups[..., None, :] == groups[..., :, None])
+    m = m.astype(jnp.float32)
     valid_f = valid.astype(jnp.float32)
 
     def cond(state):
@@ -199,6 +210,27 @@ def batched_nms(
     callers that need the ranked visit order.
     """
     return nms_unsorted_fixpoint(boxes, scores, valid, thresh, offset=offset)
+
+
+@partial(jax.jit, static_argnames=("offset",))
+def nms_grouped(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    groups: jax.Array,
+    thresh: jax.Array | float,
+    offset: float = LEGACY_OFFSET,
+) -> jax.Array:
+    """Greedy NMS of disjoint group sub-problems sharing one slot axis.
+
+    Equivalent to per-group :func:`batched_nms` (e.g. per-class NMS when each
+    detection slot carries exactly ONE class, as in the fused pipeline's
+    slot-packed det set) but with a single (N, N) IoU matrix and one fixpoint
+    for all groups — ~G× cheaper than broadcasting the boxes per group.
+    """
+    return nms_unsorted_fixpoint(
+        boxes, scores, valid, thresh, offset=offset, groups=groups
+    )
 
 
 def nms_host(dets, thresh: float, offset: float = LEGACY_OFFSET) -> list[int]:

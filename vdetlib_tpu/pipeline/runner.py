@@ -112,6 +112,7 @@ def run_video(
             loader.close()
         return frames_dev
 
+    result_path = None  # last det-proto stage output actually produced
     if "detect" in cfg.stages and det_proto is None:
         if proto_exists(paths["detect"]):
             det_proto = proto_load(paths["detect"])
@@ -121,6 +122,7 @@ def run_video(
                 cfg.detect,
             )
             proto_dump(det_proto, paths["detect"])
+        result_path = paths["detect"]
     cur_det = det_proto
 
     if "mgp" in cfg.stages:
@@ -129,6 +131,7 @@ def run_video(
         else:
             cur_det = mgp(vid_proto, cur_det, opts=cfg.mgp, frames_u8=frames())
             proto_dump(cur_det, paths["mgp"])
+        result_path = paths["mgp"]
 
     track_proto = None
     if "track" in cfg.stages:
@@ -167,6 +170,7 @@ def run_video(
             )
             proto_dump(score_proto, paths["score"])
             proto_dump(cur_det, paths["rescored"])
+        result_path = paths["rescored"]
 
     if "seq_nms" in cfg.stages:
         if proto_exists(paths["final"]):
@@ -175,8 +179,15 @@ def run_video(
             cur_det, tubelets = seq_nms_video(vid_proto, cur_det, cfg.link)
             proto_dump(tubelets, paths["tubelets"])
             proto_dump(cur_det, paths["final"])
+        result_path = paths["final"]
 
-    paths["result"] = paths["final"] if "seq_nms" in cfg.stages else paths["detect"]
+    if result_path is None:
+        # det_proto was supplied and no det-proto-producing stage ran: persist
+        # the input so downstream consumers (--eval) have a real file.
+        result_path = paths["detect"]
+        if cur_det is not None and not proto_exists(result_path):
+            proto_dump(cur_det, result_path)
+    paths["result"] = result_path
     return paths
 
 

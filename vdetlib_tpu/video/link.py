@@ -31,6 +31,48 @@ class LinkOptions:
     backend: str = "device"  # device (XLA while_loop) | host (numpy)
 
 
+def tubelets_from_path_ids(
+    boxes: np.ndarray,  # (T, N, 4)
+    out_scores: np.ndarray,  # (L, T, N) per-class seq-NMS scores
+    path_ids: np.ndarray,  # (L, T, N) int path ids (-1 = none)
+    fids,
+    video: str,
+    first_class: int = 1,
+) -> dict:
+    """Extract seq-NMS paths as a track_proto (one track per (class, path)).
+
+    ``out_scores``/``path_ids`` lanes map to class indices
+    ``first_class + lane`` — shared by the staged stage (which passes lanes
+    1..C-1) and the fused pipeline (which computes only foreground lanes).
+    """
+    boxes = np.asarray(boxes)
+    out_scores = np.asarray(out_scores)
+    path_ids = np.asarray(path_ids)
+    tracks = []
+    L, T = path_ids.shape[:2]
+    for lane in range(L):
+        c = first_class + lane
+        pids = path_ids[lane]
+        for pid in range(int(pids.max()) + 1 if pids.size else 0):
+            entries = []
+            for t in range(T):
+                ns = np.nonzero(pids[t] == pid)[0]
+                if ns.size == 0:
+                    continue
+                n = int(ns[0])
+                entries.append(
+                    {
+                        "frame": int(fids[t]),
+                        "bbox": [float(v) for v in boxes[t, n]],
+                        "score": float(out_scores[lane, t, n]),
+                        "class_index": c,
+                    }
+                )
+            if entries:
+                tracks.append(entries)
+    return {"video": video, "method": "seq_nms", "tracks": tracks}
+
+
 def seq_nms_video(
     vid_proto: dict,
     det_proto: dict,
@@ -77,35 +119,13 @@ def seq_nms_video(
     )
 
     # tubelets: one track per (class, path id)
-    tracks = []
-    C = cls_scores.shape[0]
-    for c in range(1, C):
-        pids = path_ids[c]
-        for pid in range(int(pids.max()) + 1 if pids.size else 0):
-            entries = []
-            for t in range(len(fids)):
-                ns = np.nonzero(pids[t] == pid)[0]
-                if ns.size == 0:
-                    continue
-                n = int(ns[0])
-                entries.append(
-                    {
-                        "frame": int(fids[t]),
-                        "bbox": [float(v) for v in boxes[t, n]],
-                        "score": float(out_scores[c, t, n]),
-                        "class_index": c,
-                    }
-                )
-            if entries:
-                tracks.append(entries)
-    track_proto = {
-        "video": vid_proto["video"],
-        "method": "seq_nms",
-        "tracks": tracks,
-    }
+    track_proto = tubelets_from_path_ids(
+        boxes, out_scores[1:], path_ids[1:], fids, vid_proto["video"],
+        first_class=1,
+    )
     metrics.set("frames", len(fids))
     metrics.set("dets_in", len(det_proto["detections"]))
     metrics.set("dets_out", len(det_out["detections"]))
-    metrics.set("tubelets", len(tracks))
+    metrics.set("tubelets", len(track_proto["tracks"]))
     metrics.finish()
     return det_out, track_proto
