@@ -38,7 +38,7 @@ def _bilinear_weights(starts, ends, size: int, pool: int):
     return w
 
 
-def roi_align(features, boxes, stride: int, pool: int = 7):
+def roi_align(features, boxes, stride: int, pool: int = 7, compute_dtype=None):
     """ROI-align via separable bilinear matmuls.
 
     Args:
@@ -46,21 +46,26 @@ def roi_align(features, boxes, stride: int, pool: int = 7):
       boxes: (R, 4) pixel-space [x1, y1, x2, y2].
       stride: feature stride (image px per feature cell).
       pool: output spatial bins P.
+      compute_dtype: matmul dtype; default float32. Pass ``jnp.bfloat16`` for
+        MXU-rate pooling where ~3-digit interpolation is enough (the tracker's
+        per-step NCC search pooling — the detector head stays f32).
     Returns:
       (R, P, P, C) pooled features, same dtype as ``features``.
     """
     H, W, C = features.shape
-    f32 = features.astype(jnp.float32)
+    cdt = jnp.float32 if compute_dtype is None else compute_dtype
+    feats_c = features.astype(cdt)
 
     def one(box):
         x1, y1, x2, y2 = box / stride
-        wy = _bilinear_weights(y1, y2, H, pool)  # (P, H)
-        wx = _bilinear_weights(x1, x2, W, pool)  # (P, W)
+        wy = _bilinear_weights(y1, y2, H, pool).astype(cdt)  # (P, H)
+        wx = _bilinear_weights(x1, x2, W, pool).astype(cdt)  # (P, W)
         pooled = jnp.einsum(
-            "ph,hwc->pwc", wy, f32, preferred_element_type=jnp.float32
+            "ph,hwc->pwc", wy, feats_c, preferred_element_type=jnp.float32
         )
         pooled = jnp.einsum(
-            "qw,pwc->pqc", wx, pooled, preferred_element_type=jnp.float32
+            "qw,pwc->pqc", wx, pooled.astype(cdt),
+            preferred_element_type=jnp.float32,
         )
         return pooled.astype(features.dtype)
 

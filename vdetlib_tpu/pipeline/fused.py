@@ -175,16 +175,19 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
 
         # ---- MGP (config 4a; staged: video/mgp.py::propagate_dets) ----
         N0 = cfg.det_budget
+        coord_scale = 0.5 if cfg.flow_preset == "fast" else 1.0
         flow_kw = dict(
-            levels=cfg.flow_levels, search=cfg.flow_search, preset=cfg.flow_preset
+            levels=cfg.flow_levels, search=cfg.flow_search,
+            preset=cfg.flow_preset, upsample=(coord_scale == 1.0),
         )
         fwd = flow_video(frames, **flow_kw)  # (T-1, H, W, 2): t → t+1
         bwd = jnp.flip(flow_video(jnp.flip(frames, axis=0), **flow_kw), axis=0)
+        hop = jax.vmap(lambda f, b, m: _propagate_hop(f, b, m, coord_scale))
 
         blk_boxes, blk_scores, blk_mask = [dboxes], [dscores], [dmask]
         cur_b, cur_m = dboxes, dmask
         for h in range(1, w + 1):  # forward hops: det at t lands at t+h
-            nb = jax.vmap(_propagate_hop)(fwd, cur_b[:-1], cur_m[:-1])
+            nb = hop(fwd, cur_b[:-1], cur_m[:-1])
             cur_b = jnp.concatenate([jnp.zeros((1, N0, 4)), nb], axis=0)
             cur_m = jnp.concatenate([jnp.zeros((1, N0), bool), cur_m[:-1]], axis=0)
             src = jnp.concatenate([jnp.zeros((h, N0)), dscores[:-h]], axis=0)
@@ -193,7 +196,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             blk_mask.append(cur_m & frame_ok[:, None])
         cur_b, cur_m = dboxes, dmask
         for h in range(1, w + 1):  # backward hops: det at t lands at t-h
-            nb = jax.vmap(_propagate_hop)(bwd, cur_b[1:], cur_m[1:])
+            nb = hop(bwd, cur_b[1:], cur_m[1:])
             cur_b = jnp.concatenate([nb, jnp.zeros((1, N0, 4))], axis=0)
             cur_m = jnp.concatenate([cur_m[1:], jnp.zeros((1, N0), bool)], axis=0)
             src = jnp.concatenate([dscores[h:], jnp.zeros((h, N0))], axis=0)

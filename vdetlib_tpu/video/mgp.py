@@ -14,6 +14,7 @@ compose. The host only converts protos ⇄ arrays and assembles the output.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -48,13 +49,18 @@ class MGPOptions:
     run_nms: bool = True
 
 
-@jax.jit
-def _propagate_hop(flow_t, boxes_t, mask_t):
+@functools.partial(jax.jit, static_argnames=("coord_scale",))
+def _propagate_hop(flow_t, boxes_t, mask_t, coord_scale: float = 1.0):
     """One hop: boxes at t shifted by their mean flow → boxes for t+1.
 
-    flow_t: (H, W, 2); boxes_t: (N, 4); mask_t: (N,) → shifted (N, 4).
+    flow_t: (H*s, W*s, 2) flow grid whose VALUES are full-res pixels;
+    boxes_t: (N, 4) full-res; mask_t: (N,). ``coord_scale`` maps box
+    coordinates onto the flow grid (0.5 for the "fast" preset's half-res
+    field — skipping the bilinear upsample + full-res integral images that
+    dominated the MGP stage; box-mean shifts measured MORE accurate at
+    half-res on synthetic motion, see MGPOptions.flow_preset note).
     """
-    shift = mean_flow_in_boxes(flow_t, boxes_t, mask_t)  # (N, 2)
+    shift = mean_flow_in_boxes(flow_t, boxes_t * coord_scale, mask_t)  # (N, 2)
     return shift_boxes(boxes_t, shift)
 
 
@@ -76,8 +82,13 @@ def propagate_dets(
     """
     T, N = mask.shape
     w = opts.window
+    # "fast" preset: consume the HALF-RES flow grid directly (values are
+    # full-res px; boxes scale by 0.5 onto the grid) — skips the bilinear
+    # upsample and quarters the integral-image work in mean_flow_in_boxes.
+    coord_scale = 0.5 if opts.flow_preset == "fast" else 1.0
     flow_kw = dict(
-        levels=opts.flow_levels, search=opts.flow_search, preset=opts.flow_preset
+        levels=opts.flow_levels, search=opts.flow_search,
+        preset=opts.flow_preset, upsample=(coord_scale == 1.0),
     )
     frames_dev = jnp.asarray(frames_u8)
     fwd = flow_video(frames_dev, **flow_kw)  # (T-1, H, W, 2): t → t+1
@@ -96,7 +107,9 @@ def propagate_dets(
     for h in range(1, w + 1):
         # cur_b[t] sits at frame t; fwd[t] maps t → t+1; prepend zeros to
         # re-align at the destination.
-        nb = jax.vmap(_propagate_hop)(fwd, cur_b[:-1], cur_m[:-1])  # (T-1, N, 4)
+        nb = jax.vmap(lambda f, b, m: _propagate_hop(f, b, m, coord_scale))(
+            fwd, cur_b[:-1], cur_m[:-1]
+        )  # (T-1, N, 4)
         cur_b = jnp.concatenate([jnp.zeros((1, N, 4)), nb], axis=0)
         cur_m = jnp.concatenate([jnp.zeros((1, N), bool), cur_m[:-1]], axis=0)
         src = np.zeros_like(scores)
@@ -109,7 +122,9 @@ def propagate_dets(
     # backward hops: dets from t land at t-h
     cur_b, cur_m = jnp.asarray(boxes), jnp.asarray(mask)
     for h in range(1, w + 1):
-        nb = jax.vmap(_propagate_hop)(bwd, cur_b[1:], cur_m[1:])  # (T-1, N, 4) → t
+        nb = jax.vmap(lambda f, b, m: _propagate_hop(f, b, m, coord_scale))(
+            bwd, cur_b[1:], cur_m[1:]
+        )  # (T-1, N, 4) → t
         cur_b = jnp.concatenate([nb, jnp.zeros((1, N, 4))], axis=0)
         cur_m = jnp.concatenate([cur_m[1:], jnp.zeros((1, N), bool)], axis=0)
         src = np.zeros_like(scores)

@@ -98,7 +98,13 @@ def ncc_update(feat_t, box, template, cfg):
         h = (box[3] - box[1]) * s
         sbox = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
         win = search_window(sbox, cfg.search_factor)
-        sfeat = roi_align(feat_t, win[None], stride=4, pool=Q)[0]
+        # bf16 pooling: this runs once per anchor per FRAME inside the scan —
+        # the MXU-rate matmuls cut the tracker scan's dominant fusion ~3×;
+        # NCC peaks are smooth enough that ~3-digit interpolation does not
+        # move the argmax (IoU-tolerance tests unchanged).
+        sfeat = roi_align(
+            feat_t, win[None], stride=4, pool=Q, compute_dtype=jnp.bfloat16
+        )[0]
         resp = correlate(template, sfeat)  # (R, R)
         py, px, peak = soft_argmax_2d(resp)
         wx = (win[2] - win[0]) / Q
