@@ -76,3 +76,41 @@ def test_track_proto_update(tiny_model):
         for box in track:
             assert "perturb_scores" in box
             assert len(box["bbox"]) == 4
+
+
+def test_perturb_scores_feed_rescore(tiny_model):
+    """ADVICE r1: the perturb stage's max-pooled scores must affect rescoring.
+
+    A tubelet whose boxes carry strong perturb_scores boosts its matched
+    detections even when the raw det scores are weak.
+    """
+    from vdetlib_tpu.video.rescore import RescoreOptions, tubelet_rescore
+
+    T = 4
+    fids = list(range(1, T + 1))
+    vid = {"video": "v", "frames": [{"frame": f, "path": "x"} for f in fids]}
+    box = [20.0, 20.0, 60.0, 60.0]
+    det_proto = {
+        "video": "v",
+        "detections": [
+            {"frame": f, "bbox": box,
+             "scores": [{"class": "1", "class_index": 1, "score": 0.1}]}
+            for f in fids
+        ],
+    }
+    def track(with_perturb):
+        entries = []
+        for f in fids:
+            e = {"frame": f, "bbox": box, "score": 1.0}
+            if with_perturb:
+                e["perturb_scores"] = [{"class_index": 1, "score": 0.9}]
+            entries.append(e)
+        return {"video": "v", "method": "m", "tracks": [entries]}
+
+    opts = RescoreOptions(num_classes=C, max_boxes=8, max_tracks=4)
+    _, plain = tubelet_rescore(vid, det_proto, track(False), opts)
+    _, boosted = tubelet_rescore(vid, det_proto, track(True), opts)
+    s_plain = plain["detections"][0]["scores"][0]["score"]
+    s_boosted = boosted["detections"][0]["scores"][0]["score"]
+    assert s_plain == pytest.approx(0.1, abs=1e-6)  # stat = own weak score
+    assert s_boosted == pytest.approx(0.9, abs=1e-6)  # perturb evidence adopted

@@ -1,0 +1,112 @@
+"""Serving daemon tests (VERDICT r1 missing #5): lock semantics + concurrency.
+
+try_lock is exercised directly (acquire / contend / reclaim-dead-owner /
+reclaim-by-TTL); the integration test runs TWO concurrent --once instances
+over one queue and asserts lock exclusion (each video processed exactly once)
+with the whole queue drained.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import pytest
+
+from vdetlib_tpu.cli.serve import try_lock
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_lock_acquire_and_contend(tmp_path):
+    lock = str(tmp_path / "v1.lock")
+    assert try_lock(lock)
+    assert os.path.exists(os.path.join(lock, "owner.json"))
+    # a live owner blocks everyone else
+    assert not try_lock(lock)
+
+
+def test_lock_reclaims_dead_owner(tmp_path):
+    lock = str(tmp_path / "v2.lock")
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        # a pid that cannot exist (kernel pid_max is < 2**22 by default)
+        json.dump({"host": __import__("socket").gethostname(),
+                   "pid": 2**22 + 17, "time": time.time()}, f)
+    assert try_lock(lock)  # dead owner on this host → reclaimed
+
+
+def test_lock_reclaims_by_ttl(tmp_path):
+    lock = str(tmp_path / "v3.lock")
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        json.dump({"host": "some-other-host", "pid": 1,
+                   "time": time.time() - 100}, f)
+    assert not try_lock(lock, ttl_sec=1000)  # other host, fresh → blocked
+    assert try_lock(lock, ttl_sec=10)  # older than TTL → reclaimed
+
+
+def test_lock_reclaims_metadata_less_stale_dir(tmp_path):
+    lock = str(tmp_path / "v4.lock")
+    os.makedirs(lock)  # owner crashed before writing owner.json
+    old = time.time() - 100
+    os.utime(lock, (old, old))
+    assert not try_lock(lock, ttl_sec=1000)
+    assert try_lock(lock, ttl_sec=10)
+
+
+def test_two_concurrent_serve_instances(tmp_path):
+    """Two --once daemons over one queue: exclusion + full drain."""
+    data = tmp_path / "data"
+    work = tmp_path / "work"
+    data.mkdir()
+    gen = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from vdetlib_tpu.data.synth import SynthConfig, make_video, write_frames;"
+        "from vdetlib_tpu.protos import proto_dump;"
+        "import numpy as np;"
+        f"root = {str(data)!r};"
+        "exec('''\n"
+        "for i in range(2):\n"
+        "    sv = make_video(SynthConfig(num_frames=4, height=96, width=128,\n"
+        "                                num_classes=4, seed=i), video=f'v{i}')\n"
+        "    vid = write_frames(sv, root)\n"
+        "    proto_dump(vid, f'{root}/v{i}.vid.json')\n"
+        "    boxes = [\n"
+        "        {'frame': int(f['frame']), 'bbox': [float(10+j*8), 10.0, float(50+j*8), 50.0]}\n"
+        "        for f in vid['frames'] for j in range(4)\n"
+        "    ]\n"
+        "    proto_dump({'video': sv.video, 'boxes': boxes}, f'{root}/v{i}.box.json')\n"
+        "''')"
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO, env=env)
+
+    serve_code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from vdetlib_tpu.cli.serve import main;"
+        f"raise SystemExit(main([{str(data)!r}, {str(work)!r}, '--model', 'tiny',"
+        "'--num_classes', '4', '--image_hw', '96', '128', '--max_rois', '16',"
+        "'--once']))"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", serve_code],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    # queue drained: both videos have final outputs
+    for i in range(2):
+        assert os.path.exists(work / f"v{i}" / "final.json"), outs
+    # lock exclusion: each video processed exactly once across both daemons
+    processed = re.findall(r"processing (v\d+)", "\n".join(outs))
+    assert sorted(processed) == ["v0", "v1"], outs
+    # no stale locks left behind
+    assert not list(work.glob("*.lock"))

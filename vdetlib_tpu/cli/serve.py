@@ -13,8 +13,57 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
+import shutil
+import socket
 import time
+
+
+def try_lock(lock: str, ttl_sec: float = 3600.0) -> bool:
+    """Acquire a per-video lock directory; reclaim crashed owners.
+
+    A lock carries an ``owner.json`` (host, pid, timestamp). It is considered
+    STALE — and reclaimed — when its owner process is dead (same host) or the
+    lock is older than ``ttl_sec`` (any host; covers SIGKILL/OOM where the
+    finally-block cleanup never ran). Reclaiming re-races through
+    ``os.makedirs``, so exactly one contender wins.
+    """
+    meta = os.path.join(lock, "owner.json")
+    try:
+        os.makedirs(lock)  # atomic mutual exclusion
+    except FileExistsError:
+        stale = False
+        try:
+            with open(meta, "r", encoding="utf-8") as f:
+                info = json.load(f)
+            age = time.time() - float(info.get("time", 0))
+            if age > ttl_sec:
+                stale = True
+            elif info.get("host") == socket.gethostname():
+                try:
+                    os.kill(int(info["pid"]), 0)
+                except (OSError, ValueError):
+                    stale = True  # owner process is gone
+        except (OSError, ValueError):
+            # no/corrupt metadata (owner crashed before writing): age the dir
+            try:
+                stale = time.time() - os.path.getmtime(lock) > ttl_sec
+            except OSError:
+                return False
+        if not stale:
+            return False
+        shutil.rmtree(lock, ignore_errors=True)
+        try:
+            os.makedirs(lock)
+        except FileExistsError:
+            return False  # lost the reclaim race
+    with open(meta, "w", encoding="utf-8") as f:
+        json.dump(
+            {"host": socket.gethostname(), "pid": os.getpid(), "time": time.time()},
+            f,
+        )
+    return True
 
 
 def main(argv=None) -> int:
@@ -29,6 +78,8 @@ def main(argv=None) -> int:
     p.add_argument("--max_rois", type=int, default=64)
     p.add_argument("--poll_sec", type=float, default=2.0)
     p.add_argument("--once", action="store_true", help="drain the queue and exit")
+    p.add_argument("--lock_ttl_sec", type=float, default=3600.0,
+                   help="reclaim locks older than this (crashed owners)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -76,9 +127,7 @@ def main(argv=None) -> int:
             lock = os.path.join(args.workdir, name + ".lock")
             if os.path.exists(done_marker):
                 continue
-            try:
-                os.makedirs(lock)  # atomic mutual exclusion
-            except FileExistsError:
+            if not try_lock(lock, ttl_sec=args.lock_ttl_sec):
                 continue
             try:
                 vid = proto_load(vf)
@@ -89,7 +138,7 @@ def main(argv=None) -> int:
                 processed += 1
                 did_work = True
             finally:
-                os.rmdir(lock)
+                shutil.rmtree(lock, ignore_errors=True)
         if args.once and not did_work:
             log.info("queue drained: %d videos processed", processed)
             return 0

@@ -156,6 +156,40 @@ def track_proto_to_arrays(
     return boxes, scores, mask
 
 
+def track_cls_scores_to_arrays(
+    track_proto: dict,
+    frame_ids: Sequence[int],
+    num_classes: int,
+    max_tracks: Optional[int] = None,
+) -> tuple[np.ndarray, bool]:
+    """Per-track-box class-score entries → ((K, T, C) array, found_any).
+
+    Reads each track box's ``perturb_scores`` list (written by the perturb
+    stage — video/perturb.py); absent entries are zeros. ``found_any`` is
+    False when no box carries such scores (callers can skip the channel).
+    """
+    tracks = track_proto["tracks"]
+    if max_tracks is not None:
+        tracks = tracks[:max_tracks]
+    K = len(tracks)
+    T = len(frame_ids)
+    fmap = _frame_index_map(frame_ids)
+    out = np.zeros((K, T, num_classes), dtype=np.float32)
+    found = False
+    for k, track in enumerate(tracks):
+        track_boxes = track["boxes"] if isinstance(track, dict) else track
+        for box in track_boxes:
+            t = fmap.get(int(box["frame"]))
+            if t is None:
+                continue
+            for s in box.get("perturb_scores", []):
+                ci = int(s["class_index"])
+                if 0 <= ci < num_classes:
+                    out[k, t, ci] = float(s["score"])
+                    found = True
+    return out, found
+
+
 def arrays_to_track_proto(
     boxes: np.ndarray,
     scores: np.ndarray,

@@ -28,6 +28,7 @@ from vdetlib_tpu.protos.accessors import (
 from vdetlib_tpu.protos.arrays import (
     arrays_to_det_proto,
     det_proto_to_arrays,
+    track_cls_scores_to_arrays,
     track_proto_to_arrays,
 )
 from vdetlib_tpu.utils.log import StageMetrics
@@ -55,8 +56,15 @@ def rescore_arrays(
     bg_decay,
     top_ratio: float = 0.5,
     boost: str = "max",
+    trk_cls_scores=None,  # optional (K, T, C) per-track-box class scores
 ):
     """Core rescoring math.
+
+    ``trk_cls_scores`` carries per-track-box detector evidence (the perturb
+    stage's max-pooled scores — video/perturb.py); it enters the tubelet
+    statistic alongside the IoU-matched detection scores, so a tubelet whose
+    perturbed boxes score well boosts its detections even where no raw
+    detection matched.
 
     Returns:
       new_scores: (T, N, C) rescored detection scores.
@@ -77,6 +85,10 @@ def rescore_arrays(
         jnp.where(match[..., None], det_scores[:, None, :, :], 0.0), axis=2
     )  # (T, K, C)
     per_tf = jnp.swapaxes(per_tf, 0, 1)  # (K, T, C)
+    if trk_cls_scores is not None:
+        per_tf = jnp.maximum(
+            per_tf, trk_cls_scores * trk_mask[..., None]
+        )
 
     # top-k mean over the tubelet's frames (k = ceil(top_ratio * live length))
     live = jnp.sum(trk_mask, axis=1)  # (K,)
@@ -120,6 +132,9 @@ def tubelet_rescore(
     trk_boxes, _, trk_mask = track_proto_to_arrays(
         track_proto, fids, max_tracks=opts.max_tracks
     )
+    trk_cls, has_perturb = track_cls_scores_to_arrays(
+        track_proto, fids, opts.num_classes, max_tracks=opts.max_tracks
+    )
     if trk_boxes.shape[0] == 0:
         trk_boxes = np.zeros((1, len(fids), 4), np.float32)
         trk_mask = np.zeros((1, len(fids)), bool)
@@ -133,6 +148,7 @@ def tubelet_rescore(
         opts.bg_decay,
         top_ratio=opts.top_ratio,
         boost=opts.boost,
+        trk_cls_scores=jnp.asarray(trk_cls) if has_perturb else None,
     )
     new_scores = np.asarray(new_scores)
     stats = np.asarray(stats)

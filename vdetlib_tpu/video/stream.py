@@ -173,8 +173,12 @@ def stream_video(
             if not free:
                 break
             ti, ri = divmod(int(fi), R)
-            if ti >= Tc or best_scores[ti, ri] < opts.seed_thresh:
-                break
+            if best_scores[ti, ri] < opts.seed_thresh:
+                break  # sorted desc — everything after is below threshold
+            if ti >= Tc:
+                # padded frame: its rois are zero-boxes with arbitrary
+                # detector scores — skip, but keep seeding real candidates
+                continue
             cand = boxes_np[ti, ri]
             covered = False
             live_boxes = [tb_np[a, ti] for a in range(A) if ta_np[a, ti]]
