@@ -34,6 +34,11 @@ def main(argv=None) -> int:
     p.add_argument("--perturb_n", type=int, default=8,
                    help="perturbations per tubelet box (perturb stage)")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
+    p.add_argument("--engine", default="staged", choices=["staged", "fused"],
+                   help="staged = JSON proto at every stage boundary (per-stage "
+                        "resume); fused = one device dispatch per video, same "
+                        "final protos (parity-locked), ~order-of-magnitude "
+                        "faster sweep")
     p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -94,7 +99,12 @@ def main(argv=None) -> int:
         bf = vf.replace(".vid.json", ".box.json")
         box = proto_load(bf) if os.path.exists(bf) else None
         inputs.append((vid, box))
-    results = run_videos(args.workdir, inputs, models, cfg)
+    if args.engine == "fused":
+        from vdetlib_tpu.pipeline.fused_runner import run_videos_fused
+
+        results = run_videos_fused(args.workdir, inputs, models, cfg)
+    else:
+        results = run_videos(args.workdir, inputs, models, cfg)
 
     if args.eval:
         from vdetlib_tpu.evaluation.vid_map import vid_map
