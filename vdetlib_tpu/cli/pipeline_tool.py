@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("--perturb_n", type=int, default=8,
                    help="perturbations per tubelet box (perturb stage)")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (coordinator from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID) and auto-shard the video list by "
+                        "process index; --eval metrics all-reduce across "
+                        "processes")
     p.add_argument("--engine", default="staged", choices=["staged", "fused"],
                    help="staged = JSON proto at every stage boundary (per-stage "
                         "resume); fused = one device dispatch per video, same "
@@ -57,7 +63,13 @@ def main(argv=None) -> int:
     from vdetlib_tpu.video.track import TrackOptions, init_tracker
 
     vid_files = sorted(glob.glob(os.path.join(args.data_dir, "*.vid.json")))
-    vid_files = shard_videos(vid_files, args.shard[0], args.shard[1])
+    if args.multihost:
+        from vdetlib_tpu.dist.multihost import init_multihost, process_video_shard
+
+        init_multihost()
+        vid_files = process_video_shard(vid_files)
+    else:
+        vid_files = shard_videos(vid_files, args.shard[0], args.shard[1])
     if not vid_files:
         raise SystemExit(f"no *.vid.json under {args.data_dir} for this shard")
 
@@ -109,11 +121,30 @@ def main(argv=None) -> int:
     if args.eval:
         from vdetlib_tpu.evaluation.vid_map import vid_map
 
+        eval_pairs = list(zip(vid_files, (p["result"] for p in results)))
+        if args.multihost:
+            import jax
+
+            from vdetlib_tpu.dist.multihost import allreduce_metrics
+
+            # barrier: every process finished writing its shard's protos
+            allreduce_metrics({"shards_done": 1.0})
+            if jax.process_index() != 0:
+                return 0
+            # process 0 evaluates over ALL shards' outputs (shared workdir)
+            all_files = sorted(glob.glob(os.path.join(args.data_dir, "*.vid.json")))
+            eval_pairs = []
+            for vf in all_files:
+                video = os.path.basename(vf)[: -len(".vid.json")]
+                rf = os.path.join(args.workdir, video, "final.json")
+                if os.path.exists(rf):
+                    eval_pairs.append((vf, rf))
+
         pairs = []
-        for vf, paths in zip(vid_files, results):
+        for vf, rf in eval_pairs:
             af = vf.replace(".vid.json", ".annot.json")
             if os.path.exists(af):
-                pairs.append((proto_load(paths["result"]), proto_load(af)))
+                pairs.append((proto_load(rf), proto_load(af)))
         m, aps = vid_map(pairs)
         for ci in sorted(aps):
             print(f"class {ci}: AP = {aps[ci]:.4f}")

@@ -1,0 +1,114 @@
+"""Multi-host (multi-process) runtime — SURVEY.md §5.8's DCN story.
+
+The reference's only "distributed" mode was a user manually launching one
+pipeline process per video shard over a shared filesystem. The TPU-native
+equivalent keeps that embarrassingly-parallel structure but makes it a
+first-class runtime:
+
+- :func:`init_multihost` wraps ``jax.distributed.initialize`` (coordinator
+  service + cross-host collectives); after it, ``jax.devices()`` is the
+  GLOBAL device set — ICI within a host/pod slice, DCN across hosts.
+- :func:`process_video_shard` gives each process its disjoint video subset
+  (deterministic round-robin on ``jax.process_index()``); stage outputs stay
+  resume-safe per video, so a crashed host's shard can be re-run anywhere.
+- :func:`allreduce_metrics` sums metric pytrees across processes (mAP
+  accumulators, throughput counters) — the only cross-host collective the
+  pipeline needs, per SURVEY.md §2.4/§5.8.
+
+Tested for real with two coordinated CPU processes (tests/test_multihost.py)
+— the same code path a TPU pod slice takes, minus the ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vdetlib_tpu.dist.sharding import shard_videos
+from vdetlib_tpu.utils.log import get_logger
+
+log = get_logger("dist.multihost")
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize the multi-process JAX runtime; no-op for single-process.
+
+    Arguments fall back to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
+    — also set by TPU pod launchers). Returns True when a multi-process
+    runtime was initialized. Must run BEFORE the first backend use.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and (num_processes in (None, 1)):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log.info(
+        "multihost up: process %d/%d, %d global / %d local devices",
+        jax.process_index(), jax.process_count(),
+        len(jax.devices()), len(jax.local_devices()),
+    )
+    return True
+
+
+def process_video_shard(video_paths: Sequence[str]) -> list:
+    """This process's disjoint video subset (round-robin by process index)."""
+    import jax
+
+    return shard_videos(video_paths, jax.process_index(), jax.process_count())
+
+
+def allreduce_metrics(metrics: dict) -> dict:
+    """Sum scalar metrics across all processes (no-op single-process).
+
+    Uses a global-mesh psum over one device per process — the metric values
+    ride DCN once, independent of per-host device counts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+
+    keys = sorted(metrics)
+    local = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    # one representative device per process, in process order
+    reps = []
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, d)
+    for pi in sorted(by_proc):
+        reps.append(by_proc[pi])
+    mesh = Mesh(np.asarray(reps), axis_names=("proc",))
+    sharding = NamedSharding(mesh, P("proc"))
+    # (P, K) global array: row p = process p's metrics
+    garr = jax.make_array_from_process_local_data(
+        sharding, local[None, :], (len(reps), len(keys))
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def reduce(x):
+        return jnp.sum(x, axis=0)
+
+    total = np.asarray(reduce(garr))
+    return dict(zip(keys, (float(v) for v in total)))

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from vdetlib_tpu.geometry.boxes import LEGACY_OFFSET, pairwise_iou
 
-NEG_INF = jnp.float32(-1e30)
+import numpy as np
+
+# numpy scalar, NOT jnp: a module-level device array would initialize the
+# XLA backend at import time (breaking jax.distributed.initialize ordering)
+NEG_INF = np.float32(-1e30)
 
 
 def sort_by_score(scores: jax.Array, valid: jax.Array) -> jax.Array:

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from vdetlib_tpu.geometry.boxes import LEGACY_OFFSET, pairwise_iou
 
-NEG = jnp.float32(-1e30)
+import numpy as np
+
+# numpy scalar, NOT jnp: a module-level device array would initialize the
+# XLA backend at import time (breaking jax.distributed.initialize ordering)
+NEG = np.float32(-1e30)
 
 
 @functools.partial(
