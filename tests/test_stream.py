@@ -92,8 +92,9 @@ def test_stream_video_end_to_end(models):
         chunks(), rois, opts,
     )
     assert out["num_frames"] == T
-    assert out["boxes"].shape == (T, R, 4)
-    assert out["seq_scores"].shape == (C - 1, T, R)
+    # MGP is on by default: slot axis = 3R blocks [native, fwd, bwd]
+    assert out["boxes"].shape == (T, 3 * R, 4)
+    assert out["seq_scores"].shape == (C - 1, T, 3 * R)
     # tracks were seeded and carried across chunk boundaries
     assert len(out["tracks"]) >= 1
     spans = [
@@ -101,3 +102,108 @@ def test_stream_video_end_to_end(models):
         for seg in out["tracks"].values()
     ]
     assert any(hi - lo >= 10 for lo, hi in spans), spans  # crosses ≥1 boundary
+
+
+def _make_inputs(T, seed, max_speed=2.0):
+    sv = make_video(
+        SynthConfig(num_frames=T, height=HW[0], width=HW[1], num_classes=C,
+                    seed=seed, max_speed=max_speed)
+    )
+    rng = np.random.default_rng(seed)
+    rois = np.zeros((T, R, 4), np.float32)
+    K = sv.gt_boxes.shape[0]
+    for t in range(T):
+        n = 0
+        for k in range(K):
+            for _ in range(3):
+                rois[t, n] = np.clip(
+                    sv.gt_boxes[k, t] + rng.normal(0, 2, 4),
+                    0, [HW[1]-1, HW[0]-1, HW[1]-1, HW[0]-1],
+                )
+                n += 1
+        while n < R:
+            x1, y1 = rng.uniform(0, HW[1]-20), rng.uniform(0, HW[0]-20)
+            rois[t, n] = [x1, y1, x1 + rng.uniform(10, 50), y1 + rng.uniform(10, 50)]
+            n += 1
+    return sv, rois
+
+
+def test_backward_retracking_extends_seeds(models):
+    """A track seeded mid-stream gains frames BEFORE its anchor (SURVEY §3.2).
+
+    Forward-only online tracking can never cover frames before the seed;
+    with backtrack=True the sliding-window re-tracking must."""
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+    T = 16
+    sv, rois = _make_inputs(T, seed=77, max_speed=1.0)
+
+    def chunks():
+        for s in range(0, T, 8):
+            yield sv.frames[s : s + 8]
+
+    def run(backtrack):
+        opts = StreamOptions(
+            chunk=8, max_rois=R, num_classes=C, track_slots=6,
+            seed_thresh=0.2, conf_thresh=0.15, max_paths=20,
+            backtrack=backtrack,
+        )
+        return stream_video(
+            det_model, det_params, trk_model, trk_params, trk_cfg,
+            chunks(), rois, opts,
+        )
+
+    base = run(False)
+    bt = run(True)
+
+    def pre_anchor_counts(out):
+        total = 0
+        for seg in out["tracks"].values():
+            anchor_t = seg[0][0] if not any(s == 0.0 for _, _, s in seg) else None
+            # anchor entry carries the detector seed score; backtracked
+            # entries carry 0.0 — count entries strictly before the max-score
+            # entry's frame
+            best = max(seg, key=lambda e: e[2])
+            total += sum(1 for t, _, _ in seg if t < best[0])
+        return total
+
+    assert pre_anchor_counts(bt) > pre_anchor_counts(base)
+    # segments stay sorted and within bounds
+    for seg in bt["tracks"].values():
+        ts = [t for t, _, _ in seg]
+        assert ts == sorted(ts)
+        assert min(ts) >= 0 and max(ts) < T
+
+
+def test_stream_chunked_agrees_with_unchunked(models):
+    """Chunked processing with carried state ≈ one big chunk (agreement, not
+    exactness: the causal bwd-hop at chunk tails and the finite backtrack
+    window differ by construction)."""
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+    T = 32
+    sv, rois = _make_inputs(T, seed=78)
+
+    def run(chunk):
+        def chunks():
+            for s in range(0, T, chunk):
+                yield sv.frames[s : s + chunk]
+
+        opts = StreamOptions(
+            chunk=chunk, max_rois=R, num_classes=C, track_slots=6,
+            seed_thresh=0.2, conf_thresh=0.2, max_paths=20,
+        )
+        return stream_video(
+            det_model, det_params, trk_model, trk_params, trk_cfg,
+            chunks(), rois, opts,
+        )
+
+    big = run(T)
+    small = run(8)
+    # detection keep masks agree except at chunk-boundary MGP effects
+    agree = (big["keep"] == small["keep"]).mean()
+    assert agree > 0.95, agree
+    # surviving seq-NMS detections overlap strongly
+    b_live = big["seq_scores"] > 0
+    s_live = small["seq_scores"] > 0
+    inter = (b_live & s_live).sum()
+    union = (b_live | s_live).sum()
+    assert union > 0 and inter / union > 0.5, (inter, union)

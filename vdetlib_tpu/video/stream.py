@@ -4,14 +4,27 @@ SURVEY.md §5.7: the frame axis is the sequence axis; long videos are
 processed in fixed-size chunks with carried state across boundaries —
 scan-over-chunks, the CNN-era analog of blockwise sequence processing.
 
-Per chunk (one device dispatch each for detect/track):
+Per chunk (one device dispatch each for detect/flow/track):
 - detection + per-frame per-class NMS (stateless);
+- MOTION-GUIDED PROPAGATION with a one-frame halo: flow is computed over
+  [prev chunk's last frame] + chunk (the only cross-chunk coupling MGP
+  needs — SURVEY.md §5.7 "halo exchange of 1 boundary frame"); detections
+  propagate t→t+1 (including across the boundary, via carried last-frame
+  detections) and t→t-1 within the chunk, then per-frame per-class NMS
+  dedups the union. Causal deviation from the batch stage: the backward hop
+  from the NEXT chunk's first frame into this chunk's last frame is dropped
+  (the future is unknown at emission time).
 - ONLINE tracking with carried state: active track slots carry
   (box, alive, template) across chunk boundaries; a chunk-level
   ``lax.scan`` advances all slots; new tracks are seeded from the chunk's
   top uncovered detections (host-side greedy, as in track_from_det).
-  Streaming deviation from the batch tracker: forward-only (the future is
-  unknown), like any online tracker.
+- BACKWARD RE-TRACKING of fresh seeds over a sliding window: tracker
+  features of the previous chunk are retained, and each new seed is tracked
+  backward from its anchor across [prev chunk + current chunk] in one
+  batched scan — the streaming analog of the batch tracker's fwd+bwd
+  anchors (SURVEY.md §3.2), with window-bounded latency. Earlier segment
+  entries attach to the track retroactively (track protos finalize at end
+  of stream; per-frame detection arrays still emit at chunk latency).
 
 After the last chunk, seq-NMS linking + rescoring run ONCE globally over the
 collected (small) box/score arrays — exact, since linking needs only boxes
@@ -28,12 +41,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vdetlib_tpu.geometry.boxes import shift_boxes
+from vdetlib_tpu.kernels.flow import flow_video, mean_flow_in_boxes
 from vdetlib_tpu.kernels.seq_nms import seq_nms_batch
 from vdetlib_tpu.nn.tracker_net import extract_template
 from vdetlib_tpu.utils.common import iou as np_iou
 from vdetlib_tpu.utils.log import StageMetrics, get_logger
 from vdetlib_tpu.video.detect import _detect_step
-from vdetlib_tpu.video.track import ncc_update, tracker_features
+from vdetlib_tpu.video.track import _track_one_direction, ncc_update, tracker_features
 
 log = get_logger("stream")
 
@@ -51,6 +66,12 @@ class StreamOptions:
     link_thresh: float = 0.5
     suppress_thresh: float = 0.3
     max_paths: int = 64
+    # motion-guided propagation (t±1, one-frame halo across chunks)
+    mgp: bool = True
+    mgp_decay: float = 0.9
+    flow_preset: str = "fast"
+    # backward re-tracking of fresh seeds over [prev chunk + current chunk]
+    backtrack: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "conf_thresh"))
@@ -82,6 +103,98 @@ def track_chunk(cfg, feats, templates, boxes0, alive0, conf_thresh: float):
     return jax.vmap(one_slot)(templates, boxes0, alive0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "conf_thresh"))
+def backtrack_seeds(
+    cfg, feats_window, anchor_ts, anchor_boxes, templates, seeded,
+    conf_thresh: float,
+):
+    """Track fresh seeds BACKWARD over the retained feature window.
+
+    Args:
+      feats_window: (Tw, h, w, C) — prev chunk + current chunk features.
+      anchor_ts: (A,) window-local anchor positions; anchor_boxes: (A, 4);
+      templates: (A, P, P, C); seeded: (A,) bool — lanes seeded this chunk.
+    Returns:
+      boxes (A, Tw, 4), alive (A, Tw) — alive only BEFORE each lane's anchor
+      (the anchor entry itself is recorded by the caller), False everywhere
+      for unseeded lanes.
+    """
+
+    def one(anchor_t, anchor_box, template, on):
+        boxes, conf, alive = _track_one_direction(
+            feats_window, anchor_t, anchor_box, template, cfg, conf_thresh,
+            reverse=True,
+        )
+        t_idx = jnp.arange(feats_window.shape[0])
+        alive = alive & (t_idx < anchor_t) & on
+        return boxes, alive
+
+    return jax.vmap(one)(anchor_ts, anchor_boxes, templates, seeded)
+
+
+@functools.partial(jax.jit, static_argnames=("preset",))
+def _mgp_chunk(
+    frames_ext,  # (Tc+1, H, W, 3): [prev last frame] + chunk
+    rois,  # (Tc, R, 4) this chunk's proposal boxes
+    cls_scores,  # (Tc, C-1, R) this chunk's per-class det scores
+    keep,  # (Tc, C-1, R) NMS survivors (the propagated set)
+    prev_rois,  # (R, 4) previous chunk's last-frame boxes
+    prev_scores,  # (C-1, R) previous chunk's last-frame scores
+    prev_keep,  # (C-1, R)
+    decay,
+    preset: str = "fast",
+):
+    """One chunk of motion-guided propagation (t±1, one-frame fwd halo).
+
+    Returns merged (boxes (Tc, 3R, 4), scores (Tc, C-1, 3R),
+    valid (Tc, C-1, 3R)) in slot blocks [native, fwd, bwd] — the same block
+    convention as the batch stage (video/mgp.py::propagate_dets, w=1).
+    """
+    Tc, R = rois.shape[:2]
+    coord_scale = 0.5 if preset == "fast" else 1.0
+    flow_kw = dict(preset=preset, upsample=(coord_scale == 1.0))
+    fwd = flow_video(frames_ext, **flow_kw)  # (Tc,): ext[i] → ext[i+1]
+    bwd = jnp.flip(flow_video(jnp.flip(frames_ext, axis=0), **flow_kw), axis=0)
+    # bwd[i]: ext[i+1] → ext[i]
+
+    # forward hop INTO chunk[i]: source ext[i] = prev_last (i=0) or chunk[i-1]
+    src_boxes = jnp.concatenate([prev_rois[None], rois[:-1]], axis=0)
+    src_scores = jnp.concatenate(
+        [prev_scores[None], cls_scores[:-1]], axis=0
+    )
+    src_keep = jnp.concatenate([prev_keep[None], keep[:-1]], axis=0)
+    src_mask = jnp.any(src_keep, axis=1)  # (Tc, R)
+    shifts = jax.vmap(mean_flow_in_boxes)(
+        fwd, src_boxes * coord_scale, src_mask
+    )
+    fwd_boxes = shift_boxes(src_boxes, shifts)
+    fwd_scores = src_scores * decay
+    fwd_valid = src_keep
+
+    # backward hop INTO chunk[i]: source chunk[i+1] via bwd[i+1]; the last
+    # frame has no in-chunk future source (causal deviation, see module doc)
+    nsrc_boxes = jnp.concatenate([rois[1:], jnp.zeros((1, R, 4))], axis=0)
+    nsrc_scores = jnp.concatenate(
+        [cls_scores[1:], jnp.zeros_like(cls_scores[:1])], axis=0
+    )
+    nsrc_keep = jnp.concatenate(
+        [keep[1:], jnp.zeros_like(keep[:1])], axis=0
+    )
+    nsrc_mask = jnp.any(nsrc_keep, axis=1)
+    bflow = jnp.concatenate([bwd[1:], jnp.zeros_like(bwd[:1])], axis=0)
+    bshifts = jax.vmap(mean_flow_in_boxes)(
+        bflow, nsrc_boxes * coord_scale, nsrc_mask
+    )
+    bwd_boxes = shift_boxes(nsrc_boxes, bshifts)
+    bwd_scores = nsrc_scores * decay
+    bwd_valid = nsrc_keep
+
+    m_boxes = jnp.concatenate([rois, fwd_boxes, bwd_boxes], axis=1)
+    m_scores = jnp.concatenate([cls_scores, fwd_scores, bwd_scores], axis=2)
+    m_valid = jnp.concatenate([keep, fwd_valid, bwd_valid], axis=2)
+    return m_boxes, m_scores, m_valid
+
+
 def stream_video(
     det_model,
     det_params,
@@ -100,8 +213,9 @@ def stream_video(
       rois_per_frame: callable (global_t) -> (R, 4) proposals, or a
         (T_total, R, 4) array.
     Returns:
-      dict with per-frame detection arrays (boxes/scores/keep), seq-NMS
-      scores + path ids, and per-slot track segments.
+      dict with per-frame detection arrays (boxes/scores/keep — slot axis is
+      3R when opts.mgp else R), seq-NMS scores + path ids, and per-slot
+      track segments.
     """
     metrics = StageMetrics("stream")
     A = opts.track_slots
@@ -119,6 +233,11 @@ def stream_video(
     all_boxes, all_scores, all_keep = [], [], []
     track_segments: dict[int, list] = {}
     t_global = 0
+    prev_feats = None  # previous chunk's tracker features (backtrack window)
+    prev_last_frame = None  # previous chunk's final frame (MGP halo)
+    prev_rois = np.zeros((R, 4), np.float32)
+    prev_cls_scores = np.zeros((C - 1, R), np.float32)
+    prev_keep = np.zeros((C - 1, R), bool)
 
     from vdetlib_tpu.kernels.nms import batched_nms
 
@@ -144,6 +263,36 @@ def stream_video(
         cls_boxes = jnp.swapaxes(boxes[:, :, 1:, :], 1, 2)
         keep = batched_nms(cls_boxes, cls_scores, cls_scores > 0.01, opts.nms_thresh)
 
+        # --- motion-guided propagation (t±1, one-frame halo) ---
+        if opts.mgp:
+            halo = (
+                chunk[:1] if prev_last_frame is None else prev_last_frame[None]
+            )
+            frames_ext = jnp.asarray(
+                np.concatenate([halo, chunk], axis=0)
+            )
+            m_boxes, m_scores, m_valid = _mgp_chunk(
+                frames_ext, rois_j, cls_scores, keep,
+                jnp.asarray(prev_rois), jnp.asarray(prev_cls_scores),
+                jnp.asarray(prev_keep), opts.mgp_decay,
+                preset=opts.flow_preset,
+            )
+            m_keep = batched_nms(
+                jnp.broadcast_to(
+                    m_boxes[:, None], (opts.chunk, C - 1) + m_boxes.shape[1:]
+                ),
+                m_scores,
+                m_valid & (m_scores > 0),
+                opts.nms_thresh,
+            )
+            out_boxes, out_scores, out_keep = m_boxes, m_scores, m_keep
+            prev_rois = rois[Tc - 1]
+            prev_cls_scores = np.asarray(cls_scores)[Tc - 1]
+            prev_keep = np.asarray(keep)[Tc - 1]
+            prev_last_frame = chunk[Tc - 1]
+        else:
+            out_boxes, out_scores, out_keep = rois_j, cls_scores, keep
+
         # --- tracking: advance carried slots over this chunk ---
         feats = tracker_features(trk_model, trk_params, frames_j)
         tb, tc_, ta, box_end, alive_end = track_chunk(
@@ -160,19 +309,21 @@ def stream_video(
                     seg.append((t_global + i, tb_np[a, i], float(tc_np[a, i])))
 
         # --- seed new tracks from this chunk's top uncovered detections ---
-        probs_np = np.asarray(probs)
-        keep_np = np.asarray(keep)
+        scores_np = np.asarray(out_scores)
+        keep_np = np.asarray(out_keep)
+        boxes_np = np.asarray(out_boxes)  # (Tc, N, 4)
+        N = boxes_np.shape[1]
         best_scores = np.where(
-            np.moveaxis(keep_np, 1, 2), probs_np[:, :, 1:], 0.0
-        ).max(axis=2)  # (Tc, R)
+            np.moveaxis(keep_np, 1, 2), np.moveaxis(scores_np, 1, 2), 0.0
+        ).max(axis=2)  # (Tc, N)
         flat = np.argsort(-best_scores.ravel(), kind="stable")
         free = [a for a in range(A) if not bool(np.asarray(slot_alive)[a])]
         seeded = []
-        boxes_np = rois
+        seed_lanes = []  # (slot, ti, box, track_id) for backward re-tracking
         for fi in flat:
             if not free:
                 break
-            ti, ri = divmod(int(fi), R)
+            ti, ri = divmod(int(fi), N)
             if best_scores[ti, ri] < opts.seed_thresh:
                 break  # sorted desc — everything after is below threshold
             if ti >= Tc:
@@ -196,21 +347,58 @@ def stream_video(
             track_segments[next_track_id] = [
                 (t_global + ti, cand.copy(), float(best_scores[ti, ri]))
             ]
+            seed_lanes.append((a, ti, cand.copy(), next_track_id))
             next_track_id += 1
             seeded.append((ti, ri))
 
-        all_boxes.append(rois[:Tc])
-        all_scores.append(np.asarray(cls_scores)[:Tc])
+        # --- backward re-tracking of fresh seeds over the window ---
+        if opts.backtrack and seed_lanes:
+            Tw = opts.chunk  # retained prev-chunk length
+            window = (
+                jnp.concatenate([prev_feats, feats], axis=0)
+                if prev_feats is not None
+                else jnp.concatenate([jnp.zeros_like(feats), feats], axis=0)
+            )
+            anchor_ts = np.zeros(A, np.int32)
+            anchor_boxes = np.zeros((A, 4), np.float32)
+            lane_on = np.zeros(A, bool)
+            lane_track = {}
+            for a, ti, box, tid in seed_lanes:
+                anchor_ts[a] = Tw + ti
+                anchor_boxes[a] = box
+                lane_on[a] = True
+                lane_track[a] = tid
+            bb, balive = backtrack_seeds(
+                trk_cfg, window, jnp.asarray(anchor_ts),
+                jnp.asarray(anchor_boxes), slot_templates,
+                jnp.asarray(lane_on), opts.conf_thresh,
+            )
+            bb_np, ba_np = np.asarray(bb), np.asarray(balive)
+            for a, tid in lane_track.items():
+                seg = track_segments[tid]
+                for j in range(2 * opts.chunk):
+                    # window position j maps to global frame:
+                    #   j <  Tw: prev chunk frame (t_global - Tw + j)
+                    #   j >= Tw: current chunk frame (t_global + j - Tw)
+                    t_abs = (t_global - Tw) + j
+                    if not ba_np[a, j] or t_abs < 0:
+                        continue
+                    seg.append((t_abs, bb_np[a, j], 0.0))
+                seg.sort(key=lambda e: e[0])
+
+        all_boxes.append(boxes_np[:Tc])
+        all_scores.append(scores_np[:Tc])
         all_keep.append(keep_np[:Tc])
         t_global += Tc
+        prev_feats = feats
 
     # --- global seq-NMS over the collected (small) arrays ---
-    boxes_full = np.concatenate(all_boxes, axis=0)  # (T, R, 4)
-    scores_full = np.concatenate(all_scores, axis=0)  # (T, C-1, R)
+    boxes_full = np.concatenate(all_boxes, axis=0)  # (T, N, 4)
+    scores_full = np.concatenate(all_scores, axis=0)  # (T, C-1, N)
     keep_full = np.concatenate(all_keep, axis=0)
     seq_scores, path_ids = seq_nms_batch(
         jnp.asarray(boxes_full),
-        jnp.asarray(np.moveaxis(scores_full, 1, 0)),  # (C-1, T, R)
+        jnp.asarray(np.moveaxis(scores_full, 1, 0)),  # (C-1, T, N)
         jnp.asarray(np.moveaxis(keep_full, 1, 0)),
         opts.link_thresh,
         opts.suppress_thresh,
