@@ -3,8 +3,11 @@
 Prints one JSON line per kernel. Shapes mirror the full-pipeline benchmark
 (bench.py): per-frame per-class NMS over a 256-frame 30-class snippet, and
 seq-NMS linking over the same. All timings fence via host scalar fetch
-(block_until_ready is async on this terminal) and amortize the ~30ms
-dispatch floor by chaining K calls inside one jit.
+(block_until_ready is async on this terminal). The ~30ms tunnel dispatch
+floor is removed by differencing two chain lengths inside one jit:
+marginal per-call cost = (t[CHAIN_HI] - t[CHAIN_LO]) / (CHAIN_HI - CHAIN_LO).
+(Round-1 numbers divided the floor across CHAIN=8 calls, understating every
+kernel by a constant ~3.8ms/call.)
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 T, CLS, N = 256, 30, 64
-CHAIN = 8
+CHAIN_LO, CHAIN_HI = 8, 64
 REPS = 3
 
 
@@ -33,14 +36,18 @@ def _boxes(rng, shape_prefix):
 
 
 def bench(name, make_fn, total_boxes):
-    fn = jax.jit(make_fn())
-    float(fn())  # compile + warm
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    per_call = best / CHAIN
+    def timed(chain):
+        fn = jax.jit(make_fn(chain))
+        float(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(CHAIN_LO), timed(CHAIN_HI)
+    per_call = (t_hi - t_lo) / (CHAIN_HI - CHAIN_LO)
     print(
         json.dumps(
             {
@@ -62,12 +69,12 @@ def main():
     scores = jnp.asarray(rng.uniform(0.01, 1, (T, CLS, N)).astype(np.float32))
     valid = jnp.asarray(rng.uniform(size=(T, CLS, N)) > 0.5)
 
-    def make_nms():
+    def make_nms(chain):
         def run():
             def body(c, _):
                 keep = batched_nms(boxes, scores + c * 1e-9, valid, 0.3)
                 return c + 1.0, keep.sum()
-            _, sums = jax.lax.scan(body, 0.0, None, length=CHAIN)
+            _, sums = jax.lax.scan(body, 0.0, None, length=chain)
             return sums.sum()
         return run
 
@@ -77,7 +84,7 @@ def main():
     seq_scores = jnp.asarray(rng.uniform(0.05, 1, (CLS, T, N)).astype(np.float32))
     seq_mask = jnp.asarray(rng.uniform(size=(CLS, T, N)) > 0.6)
 
-    def make_seq():
+    def make_seq(chain):
         def run():
             def body(c, _):
                 out, _pid = seq_nms_batch(
@@ -85,7 +92,7 @@ def main():
                     max_paths=32,
                 )
                 return c + 1.0, out.sum()
-            _, sums = jax.lax.scan(body, 0.0, None, length=CHAIN)
+            _, sums = jax.lax.scan(body, 0.0, None, length=chain)
             return sums.sum()
         return run
 

@@ -9,7 +9,13 @@ import pytest
 from tests.conftest import random_boxes
 from tests.oracle.nms import nms as oracle_nms
 from vdetlib_tpu.kernels.nms import batched_nms, nms_fixpoint
-from vdetlib_tpu.kernels.nms_pallas import batched_nms_pallas, nms_pallas_batch
+from vdetlib_tpu.kernels.nms import nms_unsorted_fixpoint
+from vdetlib_tpu.kernels.nms_pallas import (
+    batched_nms_pallas,
+    nms_pallas_batch,
+    nms_pallas_fixpoint,
+    nms_pallas_grouped,
+)
 
 
 def _batch(rng, b, n, ties=False):
@@ -53,6 +59,49 @@ def test_fixpoint_matches_oracle(rng, thresh):
     )
     got = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
     assert got == want
+
+
+@pytest.mark.parametrize("b,n", [(1, 16), (8, 64), (13, 64), (5, 100), (3, 128)])
+def test_pallas_v2_fixpoint_matches_xla(rng, b, n):
+    """The packed-lane fixpoint kernel (production TPU path) vs the XLA
+    fixpoint — exact keep-set equality including score ties and padding."""
+    boxes, scores, valid = _batch(rng, b, n, ties=True)
+    kp = np.asarray(nms_pallas_fixpoint(boxes, scores, valid, 0.3, interpret=True))
+    kx = np.asarray(batched_nms(boxes, scores, valid, 0.3))
+    np.testing.assert_array_equal(kp, kx)
+
+
+@pytest.mark.parametrize("thresh", [0.1, 0.5])
+def test_pallas_v2_fixpoint_matches_oracle(rng, thresh):
+    n = 64
+    boxes = random_boxes(rng, n)
+    scores = (np.round(rng.uniform(0.01, 1, n) * 8) / 8).astype(np.float32)
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    want = set(oracle_nms(dets, thresh))
+    keep = nms_pallas_fixpoint(
+        jnp.asarray(boxes)[None],
+        jnp.asarray(scores)[None],
+        jnp.ones((1, n), bool),
+        thresh,
+        interpret=True,
+    )
+    got = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
+    assert got == want
+
+
+@pytest.mark.parametrize("b,n,g", [(4, 60, 3), (2, 192, 6), (1, 300, 10)])
+def test_pallas_grouped_matches_xla(rng, b, n, g):
+    """Multi-tile grouped kernel (fused-pipeline dedup path) vs the XLA
+    grouped fixpoint — exact equality over block-diagonal sub-problems."""
+    boxes, scores, valid = _batch(rng, b, n, ties=True)
+    groups = jnp.asarray(rng.integers(0, g, size=(b, n)).astype(np.int32))
+    kp = np.asarray(
+        nms_pallas_grouped(boxes, scores, valid, groups, 0.3, interpret=True)
+    )
+    kx = np.asarray(
+        nms_unsorted_fixpoint(boxes, scores, valid, 0.3, groups=groups)
+    )
+    np.testing.assert_array_equal(kp, kx)
 
 
 def test_fixpoint_batch_matches_loop(rng):

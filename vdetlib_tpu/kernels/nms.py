@@ -193,7 +193,6 @@ def nms_unsorted_fixpoint(
     return keep > 0.5
 
 
-@partial(jax.jit, static_argnames=("offset",))
 def batched_nms(
     boxes: jax.Array,
     scores: jax.Array,
@@ -208,15 +207,26 @@ def batched_nms(
     Returns:
       keep: (..., N) bool.
 
-    Typical use: per-frame per-class NMS over a (T, C, N) snippet. The
-    implementation is the sort-free MXU fixpoint (2× the masked-greedy loop
-    on TPU at production shapes, exact same keep set); nms_xla remains for
-    callers that need the ranked visit order.
+    Typical use: per-frame per-class NMS over a (T, C, N) snippet. On TPU
+    with a static threshold this dispatches to the Pallas packed-fixpoint
+    kernel (kernels/nms_pallas.py — adjacency stays in VMEM); elsewhere the
+    sort-free XLA fixpoint runs. All paths share the oracle's exact keep set;
+    nms_xla remains for callers that need the ranked visit order.
     """
+    n = scores.shape[-1]
+    if (
+        n <= 128
+        and not isinstance(thresh, jax.core.Tracer)
+        and jax.default_backend() == "tpu"
+    ):
+        from vdetlib_tpu.kernels.nms_pallas import batched_nms_pallas
+
+        return batched_nms_pallas(
+            boxes, scores, valid, float(thresh), offset=offset
+        )
     return nms_unsorted_fixpoint(boxes, scores, valid, thresh, offset=offset)
 
 
-@partial(jax.jit, static_argnames=("offset",))
 def nms_grouped(
     boxes: jax.Array,
     scores: jax.Array,
@@ -230,8 +240,27 @@ def nms_grouped(
     Equivalent to per-group :func:`batched_nms` (e.g. per-class NMS when each
     detection slot carries exactly ONE class, as in the fused pipeline's
     slot-packed det set) but with a single (N, N) IoU matrix and one fixpoint
-    for all groups — ~G× cheaper than broadcasting the boxes per group.
+    for all groups — ~G× cheaper than broadcasting the boxes per group. On
+    TPU with a static threshold the Pallas in-VMEM fixpoint kernel runs.
     """
+    n = scores.shape[-1]
+    if (
+        n <= 512
+        and not isinstance(thresh, jax.core.Tracer)
+        and jax.default_backend() == "tpu"
+    ):
+        from vdetlib_tpu.kernels.nms_pallas import nms_pallas_grouped
+
+        lead = scores.shape[:-1]
+        keep = nms_pallas_grouped(
+            boxes.reshape((-1, n, 4)),
+            scores.reshape((-1, n)),
+            valid.reshape((-1, n)),
+            groups.reshape((-1, n)),
+            float(thresh),
+            offset=offset,
+        )
+        return keep.reshape(lead + (n,))
     return nms_unsorted_fixpoint(
         boxes, scores, valid, thresh, offset=offset, groups=groups
     )
