@@ -29,6 +29,7 @@ TOOLS = {
     "gen_box_proto": "vdetlib_tpu.cli.gen_box_proto",
     "serve": "vdetlib_tpu.cli.serve",
     "import_vid": "vdetlib_tpu.cli.import_vid",
+    "calibrate": "vdetlib_tpu.cli.calibrate",
 }
 
 
