@@ -57,6 +57,62 @@ def test_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_trained_multi_scale_beats_single_scale():
+    """VERDICT r1 item 6: trained features unlock the multi-scale search.
+
+    On scale-changing videos (scale_rate > 0), TrackerNet trained with the
+    self-supervised NCC objective + num_scales=3 must beat (a) the same
+    trained features at num_scales=1 and (b) random features at num_scales=3
+    on mean IoU vs ground truth. With random features the scale search is
+    noise-limited and does nothing — the round-1 observation."""
+    import jax
+    from vdetlib_tpu.utils.common import iou
+
+    def mk(seed):
+        return make_video(
+            SynthConfig(
+                num_frames=20, height=HW[0], width=HW[1], num_objects=1,
+                max_speed=1.5, seed=seed, scale_rate=0.035,
+                min_size=24, max_size=40,
+            )
+        )
+
+    cfg1 = TrackerConfig(num_scales=1)
+    cfg3 = TrackerConfig(num_scales=3)
+    model, params0 = init_tracker(cfg1, image_hw=HW, seed=0)
+    params0 = jax.tree.map(np.asarray, params0)  # host copy: step donates
+    params = train_tracker(
+        model, cfg1, jax.tree.map(jnp.asarray, params0),
+        [mk(100 + i) for i in range(3)],
+        steps=60, batch_size=4, seed=0, log_every=1000,
+    )
+
+    def mean_iou(cfg, p):
+        vals = []
+        for seed in (7, 8, 9):
+            sv = mk(seed)
+            feats = tracker_features(
+                model, jax.tree.map(jnp.asarray, p), jnp.asarray(sv.frames)
+            )
+            boxes, _conf, alive = track_batch(
+                model, cfg, feats, jnp.asarray([0]),
+                jnp.asarray(sv.gt_boxes[:1, 0]), 0.1,
+            )
+            b, a = np.asarray(boxes)[0], np.asarray(alive)[0]
+            vals += [
+                iou([b[t]], [sv.gt_boxes[0, t]])[0, 0]
+                for t in range(len(b)) if a[t]
+            ]
+        return float(np.mean(vals))
+
+    iou_1scale = mean_iou(cfg1, params)
+    iou_3scale = mean_iou(cfg3, params)
+    iou_3scale_random = mean_iou(cfg3, params0)
+    # measured: trained 3s=0.670, trained 1s=0.562, random 3s=0.559
+    assert iou_3scale > iou_1scale + 0.05
+    assert iou_3scale > iou_3scale_random + 0.05
+
+
 def test_long_video_tracking_300_frames():
     """Config 3 (BASELINE.json:9): 300-frame video, single scan program."""
     cfg = TrackerConfig()

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     p.add_argument("--proposals", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--with_dets", action="store_true", help="also emit synthetic det_protos")
+    p.add_argument(
+        "--class_coded", action="store_true",
+        help="class-coded appearance (classification learnable across videos)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -43,6 +47,7 @@ def main(argv=None) -> int:
             num_classes=args.num_classes,
             proposals_per_frame=args.proposals,
             seed=args.seed + i,
+            class_coded_appearance=args.class_coded,
         )
         sv = make_video(cfg, video=name)
         vid = write_frames(sv, os.path.join(args.out_dir, "frames"))

@@ -28,6 +28,10 @@ class SynthConfig:
     proposals_per_frame: int = 24
     jitter: float = 3.0
     scale_rate: float = 0.0  # per-frame relative size change (e.g. 0.02)
+    # Tie object appearance (color/texture) to the class label so that
+    # classification is learnable across videos. Off by default to keep the
+    # original fixture pixels stable; training/eval tools turn it on.
+    class_coded_appearance: bool = False
 
 
 @dataclass
@@ -62,9 +66,27 @@ def make_video(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
     )
     vel = rng.uniform(-cfg.max_speed, cfg.max_speed, size=(K, 2))
     classes = rng.integers(1, cfg.num_classes, size=K).astype(np.int32)
-    colors = rng.integers(100, 255, size=(K, 3)).astype(np.uint8)
-    # Per-object texture so the correlation tracker has structure to latch on.
-    textures = rng.integers(-40, 40, size=(K, 16, 16, 3)).astype(np.int16)
+    if cfg.class_coded_appearance:
+        # Class-seeded palette + texture with small per-object jitter: the
+        # label is recoverable from appearance by a detector that
+        # generalizes, and NOT by one that memorizes objects.
+        colors = np.zeros((K, 3), np.uint8)
+        textures = np.zeros((K, 16, 16, 3), np.int16)
+        for k in range(K):
+            c = int(classes[k])
+            crng = np.random.default_rng(1000 + c)
+            # dominant channel c % 3 keeps palettes far apart; the rest of
+            # the base color and the texture are class-seeded randomness
+            base = crng.integers(40, 90, size=3)
+            base[c % 3] = 200 + crng.integers(0, 50)
+            tex = crng.integers(-35, 35, size=(16, 16, 3))
+            colors[k] = np.clip(base + rng.integers(-10, 11, size=3), 0, 255)
+            textures[k] = tex + rng.integers(-6, 7, size=(16, 16, 3))
+    else:
+        colors = rng.integers(100, 255, size=(K, 3)).astype(np.uint8)
+        # Per-object texture so the correlation tracker has structure to
+        # latch on.
+        textures = rng.integers(-40, 40, size=(K, 16, 16, 3)).astype(np.int16)
 
     gt = np.zeros((K, T, 4), dtype=np.float32)
     for t in range(T):

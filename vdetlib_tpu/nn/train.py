@@ -119,11 +119,30 @@ def train_step(model: Detector, state: TrainState, tx, batch) -> tuple[TrainStat
     return TrainState(new_params, new_opt, state.step + 1), aux
 
 
+def augment_photometric(images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Per-image brightness/contrast/channel-gain jitter + sensor noise.
+
+    uint8 (B, H, W, 3) → uint8. Breaks the detector's ability to memorize
+    absolute colors of individual training objects (the round-1 overfit
+    mode) while preserving spatial structure.
+    """
+    B = images.shape[0]
+    out = images.astype(np.float32)
+    gain = rng.uniform(0.7, 1.3, size=(B, 1, 1, 1)).astype(np.float32)
+    bias = rng.uniform(-25, 25, size=(B, 1, 1, 1)).astype(np.float32)
+    ch_gain = rng.uniform(0.85, 1.15, size=(B, 1, 1, 3)).astype(np.float32)
+    out = out * gain * ch_gain + bias
+    out += rng.normal(0, 4.0, size=out.shape).astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def make_training_batch(sv, rng: np.random.Generator, opts, num_classes: int):
     """Build one training batch from a SynthVideo (host-side, numpy).
 
-    Samples jittered-GT + random ROIs per frame and assigns targets.
-    Returns the dict expected by train_step.
+    Samples jittered-GT + random ROIs per frame and assigns targets. With
+    ``opts.augment`` (default off), applies photometric jitter + horizontal
+    flips (boxes flipped consistently). Returns the dict expected by
+    train_step.
     """
     T = sv.frames.shape[0]
     B, R = opts.batch_size, opts.max_rois
@@ -153,6 +172,16 @@ def make_training_batch(sv, rng: np.random.Generator, opts, num_classes: int):
             rois[bi, n] = np.clip(bb, 0, [W - 1, H - 1, W - 1, H - 1])
             roi_mask[bi, n] = True
             n += 1
+    if getattr(opts, "augment", False):
+        images = augment_photometric(images.copy(), rng)
+        flip = rng.uniform(size=B) < 0.5
+        if flip.any():
+            images[flip] = images[flip, :, ::-1]
+            for arr in (rois, gt_b):
+                x1 = arr[flip, ..., 0].copy()
+                x2 = arr[flip, ..., 2].copy()
+                arr[flip, ..., 0] = (W - 1) - x2
+                arr[flip, ..., 2] = (W - 1) - x1
     labels, bbox_targets = jax.vmap(assign_targets)(
         jnp.asarray(rois),
         jnp.asarray(roi_mask),
