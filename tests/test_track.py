@@ -51,6 +51,46 @@ def test_tracker_follows_gt(setup):
         assert np.mean(ious) > 0.35, (k, ious)
 
 
+def test_folded_scan_matches_two_scan_form(setup):
+    """track_batch folds fwd+bwd into one scan; it must equal the two-scan
+    composition (_track_one_direction per direction) exactly."""
+    import jax
+    from vdetlib_tpu.nn.tracker_net import extract_template
+    from vdetlib_tpu.video.track import _track_one_direction
+
+    sv, cfg, model, params, feats = setup
+    anchor_ts = jnp.asarray([2, T // 2, T - 2])
+    anchor_boxes = jnp.asarray(
+        [sv.gt_boxes[0, 2], sv.gt_boxes[1, T // 2], sv.gt_boxes[2, T - 2]]
+    )
+
+    def one(anchor_t, anchor_box):
+        template = extract_template(feats[anchor_t], anchor_box, cfg)
+        fb, fc, fa = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, 0.3, reverse=False
+        )
+        bb, bc, ba = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, 0.3, reverse=True
+        )
+        use_f = jnp.arange(T) >= anchor_t
+        return (
+            jnp.where(use_f[:, None], fb, bb),
+            jnp.where(use_f, fc, bc),
+            jnp.where(use_f, fa, ba),
+        )
+
+    ref_b, ref_c, ref_a = jax.vmap(one)(anchor_ts, anchor_boxes)
+    got_b, got_c, got_a = track_batch(
+        model, cfg, feats, anchor_ts, anchor_boxes, 0.3
+    )
+    # same math, but XLA fuses the folded form differently, so the bf16
+    # pooling inside ncc_update reassociates: sub-0.05px box drift, identical
+    # alive decisions.
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=5e-3)
+
+
 def test_anchor_frame_identity(setup):
     sv, cfg, model, params, feats = setup
     at = 4

@@ -186,27 +186,73 @@ def track_batch(
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
+    Both temporal directions are FOLDED into one ``lax.scan`` of T steps:
+    step i advances the forward lanes at frame i and the backward lanes at
+    frame T-1-i (2A lanes of batched NCC work per step). Versus two
+    sequential T-step scans this halves the scan's sequential depth — the
+    tracker is step-overhead-bound, not FLOP-bound. Per-lane math is
+    identical to the two-scan form up to compile-time reassociation of the
+    bf16 pooling (parity-tested: same alive decisions, <0.05px box drift).
+
     Returns boxes (A, T, 4), conf (A, T), alive (A, T); the anchor frame is
     alive with conf 1.0; dead frames carry the last live box (masked out).
     """
+    T = feats.shape[0]
+    templates = jax.vmap(
+        lambda at, ab: extract_template(feats[at], ab, cfg)
+    )(anchor_ts, anchor_boxes)  # (A, P, P, C)
 
-    def one(anchor_t, anchor_box):
-        anchor_feat = feats[anchor_t]  # dynamic gather on T
-        template = extract_template(anchor_feat, anchor_box, cfg)
-        fb, fc, fa = _track_one_direction(
-            feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse=False
-        )
-        bb, bc, ba = _track_one_direction(
-            feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse=True
-        )
-        t_idx = jnp.arange(feats.shape[0])
-        use_f = t_idx >= anchor_t
-        boxes = jnp.where(use_f[:, None], fb, bb)
-        conf = jnp.where(use_f, fc, bc)
-        alive = jnp.where(use_f, fa, ba)
-        return boxes, conf, alive
+    def step(carry, inp):
+        fbox, falive, bbox, balive = carry
+        feat_f, t = inp
+        tb = T - 1 - t
+        feat_b = jax.lax.dynamic_index_in_dim(feats, tb, 0, keepdims=False)
 
-    return jax.vmap(one)(anchor_ts, anchor_boxes)
+        # Both directions' lane state stacked to (2, A, ...): every NCC op
+        # (pooling matmuls, correlation convs) runs ONCE with a 2A batch —
+        # the TPU core executes fusions sequentially, so two separate A-lane
+        # calls would serialize and forfeit the fold's win.
+        ts2 = jnp.stack([t, tb])  # (2,)
+        started = ts2[:, None] == anchor_ts[None, :]  # (2, A)
+        box = jnp.where(
+            started[..., None], anchor_boxes[None], jnp.stack([fbox, bbox])
+        )
+        alive2 = jnp.stack([falive, balive]) | started
+        new_box, peak = jax.vmap(
+            lambda ft, bxs: jax.vmap(
+                lambda b, tp: ncc_update(ft, b, tp, cfg)
+            )(bxs, templates)
+        )(jnp.stack([feat_f, feat_b]), box)
+        track_now = alive2 & (ts2[:, None] != anchor_ts[None, :])
+        ok = peak > conf_thresh
+        new_alive = jnp.where(track_now, alive2 & ok, alive2)
+        new_box = jnp.where((track_now & ok)[..., None], new_box, box)
+        conf_out = jnp.where(started, 1.0, peak)
+        emit_alive = jnp.where(started, True, new_alive)
+        return (
+            (new_box[0], new_alive[0], new_box[1], new_alive[1]),
+            (
+                new_box[0], conf_out[0], emit_alive[0],
+                new_box[1], conf_out[1], emit_alive[1],
+            ),
+        )
+
+    A = anchor_ts.shape[0]
+    init = (
+        jnp.zeros((A, 4), jnp.float32), jnp.zeros((A,), bool),
+        jnp.zeros((A, 4), jnp.float32), jnp.zeros((A,), bool),
+    )
+    _, (fb, fc, fa, bb, bc, ba) = jax.lax.scan(
+        step, init, (feats, jnp.arange(T))
+    )
+    # scan axis: fwd outputs are at frame t=i; bwd outputs at frame T-1-i.
+    fb, fc, fa = (jnp.moveaxis(v, 0, 1) for v in (fb, fc, fa))
+    bb, bc, ba = (jnp.moveaxis(jnp.flip(v, 0), 0, 1) for v in (bb, bc, ba))
+    use_f = jnp.arange(T)[None, :] >= anchor_ts[:, None]  # (A, T)
+    boxes = jnp.where(use_f[..., None], fb, bb)
+    conf = jnp.where(use_f, fc, bc)
+    alive = jnp.where(use_f, fa, ba)
+    return boxes, conf, alive
 
 
 def _candidate_dets(det_proto, frame_index, min_score):
