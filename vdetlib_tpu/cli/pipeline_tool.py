@@ -46,6 +46,11 @@ def main(argv=None) -> int:
                         "final protos (parity-locked), ~order-of-magnitude "
                         "faster sweep")
     p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
+    p.add_argument(
+        "--calibrate", default="none", choices=["none", "rank"],
+        help="per-video score calibration before pooled eval "
+        "(evaluation/calibration.py; 'rank' = label-free quantile transform)",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -144,7 +149,12 @@ def main(argv=None) -> int:
         for vf, rf in eval_pairs:
             af = vf.replace(".vid.json", ".annot.json")
             if os.path.exists(af):
-                pairs.append((proto_load(rf), proto_load(af)))
+                dp = proto_load(rf)
+                if args.calibrate == "rank":
+                    from vdetlib_tpu.evaluation.calibration import rank_normalize
+
+                    dp = rank_normalize(dp)
+                pairs.append((dp, proto_load(af)))
         m, aps = vid_map(pairs)
         for ci in sorted(aps):
             print(f"class {ci}: AP = {aps[ci]:.4f}")
