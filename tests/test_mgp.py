@@ -121,3 +121,25 @@ def test_mgp_with_nms_dedups(sv):
     ded = mgp(vid, det, opts=o_nms, frames_u8=sv.frames)
     assert len(ded["detections"]) < len(raw["detections"])
     assert len(ded["detections"]) >= len(det["detections"]) * 0.8
+
+
+def test_pallas_flow_level_box_shift_parity(sv):
+    """The Pallas flow level (TPU production path, interpret mode here) must
+    produce the same MGP box shifts as the XLA level within a fraction of a
+    pixel — mean-flow-in-box is the only consumer (SURVEY.md §3.3)."""
+    import jax
+    from vdetlib_tpu.kernels.flow import _avg_pool2, _flow_level
+    from vdetlib_tpu.kernels.flow_pallas import flow_level_pallas
+
+    gray_h = _avg_pool2(to_gray(jnp.asarray(sv.frames))).astype(jnp.bfloat16)
+    i1, i2 = gray_h[:-1], gray_h[1:]
+    ref = jax.vmap(lambda a, b: _flow_level(a, b, 5, 3, 0.08))(i1, i2)
+    got = flow_level_pallas(i1, i2, search=5, radius=3, temperature=0.08,
+                            interpret=True)
+    T1 = ref.shape[0]
+    boxes_h = jnp.asarray(sv.gt_boxes[:, :T1].transpose(1, 0, 2)) * 0.5
+    valid = jnp.ones(boxes_h.shape[:2], bool)
+    shifts_ref = jax.vmap(mean_flow_in_boxes)(ref, boxes_h, valid)
+    shifts_got = jax.vmap(mean_flow_in_boxes)(got, boxes_h, valid)
+    d = np.abs(np.asarray(shifts_ref) - np.asarray(shifts_got))
+    assert d.mean() < 0.05 and d.max() < 0.5, (d.mean(), d.max())

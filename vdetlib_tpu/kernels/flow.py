@@ -220,10 +220,22 @@ def flow_video(
         # nearly free on the VPU (static slices + separable box sums), while
         # the pyramid's upsample+warp refinement was gather/resize-bound and
         # dominated the stage. ±5 half-px ≈ ±10 full-px motion coverage.
+        # On TPU the level runs as a Pallas kernel that keeps each pair's
+        # whole S² online soft-argmin in VMEM (kernels/flow_pallas.py) —
+        # the XLA form streams (T-1, H, W) temporaries through HBM every
+        # shift iteration and is HBM-bound.
         gray_h = _avg_pool2(gray).astype(jnp.bfloat16)
-        f = jax.vmap(
-            lambda a, b: _flow_level(a, b, 5, radius, temperature)
-        )(gray_h[:-1], gray_h[1:])
+        if jax.default_backend() == "tpu":
+            from vdetlib_tpu.kernels.flow_pallas import flow_level_pallas
+
+            f = flow_level_pallas(
+                gray_h[:-1], gray_h[1:], search=5, radius=radius,
+                temperature=temperature,
+            )
+        else:
+            f = jax.vmap(
+                lambda a, b: _flow_level(a, b, 5, radius, temperature)
+            )(gray_h[:-1], gray_h[1:])
         f = f.astype(jnp.float32) * 2.0  # half-res displacements → full-res px
         if not upsample:
             # (T-1, H/2, W/2, 2) grid, values in FULL-res pixels — consumers
