@@ -127,6 +127,33 @@ def test_perturb_stage(tmp_path, models, cfg):
     assert os.path.exists(paths["final"])
 
 
+def test_cli_track_scales_flag(tmp_path):
+    """pipeline_tool --track_scales N reaches TrackerConfig (scale-adaptive NCC)."""
+    from vdetlib_tpu.cli.pipeline_tool import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    sv = make_video(
+        SynthConfig(
+            num_frames=4, height=HW[0], width=HW[1], num_classes=C,
+            proposals_per_frame=R, seed=7,
+        ),
+        video="sc0",
+    )
+    vid = write_frames(sv, str(data))
+    proto_dump(vid, str(data / "sc0.vid.json"))
+    proto_dump(box_proto(sv), str(data / "sc0.box.json"))
+    rc = main([
+        str(data), str(tmp_path / "work"), "--model", "tiny",
+        "--num_classes", str(C), "--image_hw", str(HW[0]), str(HW[1]),
+        "--max_rois", str(R), "--max_tracks", "4", "--track_scales", "3",
+        "--stages", "detect,track",
+    ])
+    assert rc == 0
+    tracks = proto_load(str(tmp_path / "work" / "sc0" / "track.json"))
+    assert tracks["method"] == "correlation_tracker"
+
+
 def test_run_videos_batch(tmp_path, models, cfg):
     data = _dataset(tmp_path, n=2)
     m, _ = models

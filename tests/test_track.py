@@ -113,6 +113,45 @@ def test_bidirectional_coverage(setup):
     assert alive[:at].any() and alive[at + 1 :].any()
 
 
+def test_pallas_scan_matches_xla_scan(setup):
+    """The Pallas tracker-scan kernel (TPU production path, interpret mode
+    here) must reproduce the XLA folded scan: identical alive decisions,
+    sub-0.1px box drift (bf16 pooling reassociates across formulations)."""
+    import jax
+    from vdetlib_tpu.nn.tracker_net import extract_template
+    from vdetlib_tpu.kernels.track_pallas import track_scan_pallas
+
+    sv, cfg, model, params, feats = setup
+    anchor_ts = jnp.asarray([2, T // 2, T - 2])
+    anchor_boxes = jnp.asarray(
+        [sv.gt_boxes[0, 2], sv.gt_boxes[1, T // 2], sv.gt_boxes[2, T - 2]]
+    )
+    ref_b, ref_c, ref_a = track_batch(
+        model, cfg, feats, anchor_ts, anchor_boxes, 0.3
+    )  # CPU backend → XLA scan path
+    templates = jax.vmap(
+        lambda at, ab: extract_template(feats[at], ab, cfg)
+    )(anchor_ts, anchor_boxes)
+    fb, fc, fa, bb, bc, ba = track_scan_pallas(
+        feats, anchor_ts, anchor_boxes, templates,
+        Q=cfg.search_pool, P=cfg.template_pool, factor=cfg.search_factor,
+        stride=4, conf_thresh=0.3, interpret=True,
+    )
+    fb, fc, fa, bb, bc, ba = (
+        jnp.moveaxis(v, 0, 1) for v in (fb, fc, fa, bb, bc, ba)
+    )
+    use_f = jnp.arange(T)[None, :] >= anchor_ts[:, None]
+    got_b = jnp.where(use_f[..., None], fb, bb)
+    got_c = jnp.where(use_f, fc, bc)
+    got_a = jnp.where(use_f, fa, ba)
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+    live = np.asarray(ref_a)
+    db = np.abs(np.asarray(got_b) - np.asarray(ref_b))[live]
+    dc = np.abs(np.asarray(got_c) - np.asarray(ref_c))[live]
+    assert db.max() < 0.1, db.max()
+    assert dc.max() < 5e-3, dc.max()
+
+
 def test_multi_scale_tracking_runs(setup):
     """Scale-adaptive tracking (num_scales=3) stays on target.
 

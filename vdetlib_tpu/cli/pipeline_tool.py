@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--mgp_window", type=int, default=1)
     p.add_argument("--max_tracks", type=int, default=16)
+    p.add_argument(
+        "--track_scales", type=int, default=1,
+        help="scale-adaptive tracking: NCC scales per step (1 = off; 3 with "
+        "trained tracker features recommended for zooming objects)",
+    )
     p.add_argument("--stages", default="detect,mgp,track,rescore,seq_nms",
                    help="comma list; insert 'perturb' after track to enable "
                         "tubelet box perturbation + detector max-pooling")
@@ -83,7 +88,7 @@ def main(argv=None) -> int:
     det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
     if args.detector_weights:
         det_params = load_params(args.detector_weights, template=det_params)
-    trk_cfg = TrackerConfig()
+    trk_cfg = TrackerConfig(num_scales=args.track_scales)
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
     if args.tracker_weights:
         trk_params = load_params(args.tracker_weights, template=trk_params)

@@ -202,6 +202,35 @@ def track_batch(
         lambda at, ab: extract_template(feats[at], ab, cfg)
     )(anchor_ts, anchor_boxes)  # (A, P, P, C)
 
+    import os
+
+    if (
+        cfg.num_scales <= 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("VDETLIB_TPU_TRACK_PALLAS") == "1"
+    ):
+        # EXPERIMENTAL, off by default: the Pallas whole-scan kernel
+        # (kernels/track_pallas.py) is hardware-correct but measured 1.8×
+        # SLOWER than this XLA scan (35.5 vs 19.8 ms at T=256/A=8) — Mosaic
+        # forces the ROI-align w-contraction onto VPU loops whose in-kernel
+        # iteration overhead exceeds the scan's per-step launch cost it was
+        # built to remove (RESULTS.md round 2). Kept for future tuning.
+        from vdetlib_tpu.kernels.track_pallas import track_scan_pallas
+
+        fb, fc, fa, bb, bc, ba = track_scan_pallas(
+            feats, anchor_ts, anchor_boxes, templates,
+            Q=cfg.search_pool, P=cfg.template_pool,
+            factor=cfg.search_factor, stride=4, conf_thresh=conf_thresh,
+        )
+        fb, fc, fa, bb, bc, ba = (
+            jnp.moveaxis(v, 0, 1) for v in (fb, fc, fa, bb, bc, ba)
+        )
+        use_f = jnp.arange(T)[None, :] >= anchor_ts[:, None]  # (A, T)
+        boxes = jnp.where(use_f[..., None], fb, bb)
+        conf = jnp.where(use_f, fc, bc)
+        alive = jnp.where(use_f, fa, ba)
+        return boxes, conf, alive
+
     def step(carry, inp):
         fbox, falive, bbox, balive = carry
         feat_f, t = inp
