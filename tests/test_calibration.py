@@ -122,3 +122,49 @@ def test_platt_roundtrip_serialization(rng, miscalibrated_videos):
         for s in d["scores"]
     ]
     np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def test_submission_writer_applies_platt(tmp_path, rng, miscalibrated_videos):
+    """write_submission --calibration emits calibrated probabilities and
+    --min_score filters on them (ROADMAP: Platt into the submission file)."""
+    import json
+
+    from vdetlib_tpu.cli.write_submission import main
+    from vdetlib_tpu.protos import proto_dump
+
+    cal = PlattCalibrator().fit(miscalibrated_videos[:4])
+    cal_path = tmp_path / "cal.json"
+    cal_path.write_text(json.dumps(cal.to_json()))
+
+    det, _ = miscalibrated_videos[1]  # low score-scale video: FPs fall below 0.5
+    frames = sorted({d["frame"] for d in det["detections"]})
+    vid = {
+        "video": det["video"],
+        "root_path": str(tmp_path),
+        "frames": [{"frame": f, "path": f"{f}.jpg"} for f in frames],
+    }
+    det_p, vid_p = tmp_path / "det.json", tmp_path / "vid.json"
+    proto_dump(det, str(det_p))
+    proto_dump(vid, str(vid_p))
+
+    out_raw = tmp_path / "raw.txt"
+    out_cal = tmp_path / "cal.txt"
+    assert main([str(out_raw), "--pairs", str(vid_p), str(det_p)]) == 0
+    assert main([
+        str(out_cal), "--pairs", str(vid_p), str(det_p),
+        "--calibration", str(cal_path), "--min_score", "0.5",
+    ]) == 0
+    raw_lines = out_raw.read_text().splitlines()
+    cal_lines = out_cal.read_text().splitlines()
+    # calibrated + thresholded: fewer lines, all scores ≥ 0.5, and they match
+    # the calibrator's own transform
+    assert 0 < len(cal_lines) < len(raw_lines)
+    assert all(float(l.split()[2]) >= 0.5 for l in cal_lines)
+    expect = sorted(
+        round(float(s["score"]), 6)
+        for d in cal.transform(det)["detections"]
+        for s in d["scores"]
+        if float(s["score"]) >= 0.5
+    )
+    got = sorted(float(l.split()[2]) for l in cal_lines)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
