@@ -90,3 +90,27 @@ def test_submission_lines_and_writer(tmp_path):
     assert n == 2 * len(lines)
     all_lines = open(path).read().splitlines()
     assert int(all_lines[len(lines)].split()[0]) == 1 + len(vid["frames"])
+
+
+def test_gen_synth_cli_scale_rate(tmp_path):
+    """gen_synth --scale_rate produces growing GT boxes (zooming objects)."""
+    import numpy as np
+
+    from vdetlib_tpu.cli.gen_synth import main
+    from vdetlib_tpu.protos import proto_load
+
+    out = tmp_path / "ds"
+    rc = main([
+        str(out), "--num_videos", "1", "--frames", "10", "--height", "96",
+        "--width", "128", "--proposals", "8", "--scale_rate", "0.05",
+    ])
+    assert rc == 0
+    annot = proto_load(str(out / "synth000.annot.json"))
+    grew = 0
+    for a in annot["annotations"]:
+        tr = a["track"]
+        first, last = tr[0]["bbox"], tr[-1]["bbox"]
+        area = lambda b: max(b[2] - b[0], 1) * max(b[3] - b[1], 1)
+        if area(last) > area(first) * 1.3:
+            grew += 1
+    assert grew >= 1, "no object grew despite scale_rate"

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
         "--class_coded", action="store_true",
         help="class-coded appearance (classification learnable across videos)",
     )
+    p.add_argument(
+        "--scale_rate", type=float, default=0.0,
+        help="per-frame relative object size change (e.g. 0.035 = objects "
+        "zoom ~3.5%%/frame; exercises scale-adaptive tracking)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -48,6 +53,7 @@ def main(argv=None) -> int:
             proposals_per_frame=args.proposals,
             seed=args.seed + i,
             class_coded_appearance=args.class_coded,
+            scale_rate=args.scale_rate,
         )
         sv = make_video(cfg, video=name)
         vid = write_frames(sv, os.path.join(args.out_dir, "frames"))
