@@ -34,6 +34,12 @@ C = 31  # classes incl. background
 B = 32  # detection/feature batch (B=32 measured 46.8ms vs 51.7ms at B=16
 # for the 256-frame detection block; B=64 saves <1ms more for 2x activations)
 A = 8  # tracked anchors
+V = 4  # video snippets per dispatch — the production batching of
+# make_sharded_pipeline (vmap over videos per device). Amortizes the fixed
+# per-dispatch cost (~30ms through this terminal's tunnel) over 4 videos'
+# compute: measured 1608 (V=1) → 1723 (V=2) → 1835 fps (V=4); marginal
+# compute is ~130ms/video at every V, so this is amortization, not batching
+# magic.
 TARGET_FPS = 1000.0
 REPS = 5
 
@@ -82,8 +88,10 @@ def main():
     pipeline = make_fused_pipeline(det_model, trk_model, trk_cfg, cfg)
 
     @jax.jit
-    def run(det_p, trk_p, frames, rois):
-        out = pipeline(det_p, trk_p, frames, rois)
+    def run(det_p, trk_p, frames_v, rois_v):
+        out = jax.vmap(lambda f, r: pipeline(det_p, trk_p, f, r))(
+            frames_v, rois_v
+        )
         # scalar checksum — the host fetch is the execution fence
         return (
             jnp.sum(out.final_scores)
@@ -92,8 +100,13 @@ def main():
             + jnp.sum(out.track_conf)
         )
 
-    frames_j = jnp.asarray(frames_np)
-    rois_j = jnp.asarray(rois_np)
+    all_frames, all_rois = [frames_np], [rois_np]
+    for v in range(1, V):
+        f, r = build_inputs(seed=v)
+        all_frames.append(f)
+        all_rois.append(r)
+    frames_j = jnp.asarray(np.stack(all_frames))
+    rois_j = jnp.asarray(np.stack(all_rois))
 
     # compile + warm
     float(run(det_params, trk_params, frames_j, rois_j))
@@ -103,7 +116,7 @@ def main():
         float(run(det_params, trk_params, frames_j, rois_j))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    fps = T / dt
+    fps = V * T / dt
     print(
         json.dumps(
             {
