@@ -92,15 +92,15 @@ def _frame_nms_device(vid_proto, det_proto, thresh, offset, max_boxes, backend) 
     scores = np.zeros((T, C, N), dtype=np.float32)
     has_entry = np.zeros((T, C, N), dtype=bool)
     det_index = -np.ones((T, N), dtype=np.int64)
+    class_slot = {ci: c for c, ci in enumerate(classes)}  # O(1) per entry
     for t, fid in enumerate(fids):
         entries = by_frame.get(fid, [])[:N]
         for n, (det_idx, d) in enumerate(entries):
             boxes[t, n] = np.asarray(d["bbox"], dtype=np.float32)
             det_index[t, n] = det_idx
             for s in d["scores"]:
-                ci = int(s["class_index"])
-                if ci in classes:
-                    c = classes.index(ci)
+                c = class_slot.get(int(s["class_index"]))
+                if c is not None:
                     scores[t, c, n] = float(s["score"])
                     has_entry[t, c, n] = True
     boxes_tc = jnp.broadcast_to(jnp.asarray(boxes)[:, None], (T, C, N, 4))
