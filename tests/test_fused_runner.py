@@ -116,3 +116,45 @@ def test_fused_engine_resume_skips_done(dataset, models_cfg, tmp_path):
     second = run_videos_fused(work, inputs, models, cfg)
     for p in second:
         assert os.path.getmtime(p["final"]) == mtimes[p["final"]]  # untouched
+
+
+def test_fused_engine_grouped_dispatch(dataset, models_cfg, tmp_path):
+    """group_size>1 batches same-bucket videos into one vmapped dispatch:
+    outputs are valid per-video protos, deterministic across runs, and
+    near the single-dispatch outputs (the batched program's bf16
+    reassociation may flip near-tied NMS decisions — that is why grouping
+    is opt-in and the strict parity contract holds only at group_size=1)."""
+    tmp, inputs = dataset
+    models, cfg = models_cfg
+    single = run_videos_fused(str(tmp_path / "g1"), inputs, models, cfg)
+    g_a = run_videos_fused(
+        str(tmp_path / "ga"), inputs, models, cfg, group_size=2
+    )
+    g_b = run_videos_fused(
+        str(tmp_path / "gb"), inputs, models, cfg, group_size=2
+    )
+    assert len(g_a) == len(single) == 2
+    for ps, pa, pb in zip(single, g_a, g_b):
+        da = proto_load(pa["result"])
+        db = proto_load(pb["result"])
+        ds = proto_load(ps["result"])
+        # determinism: two grouped runs are byte-identical
+        assert da == db
+        assert len(da["detections"]) > 0
+        ta = proto_load(pa["tubelets"])
+        assert len(ta["tracks"]) > 0
+        # near-parity with the single-dispatch outputs: same (frame, class)
+        # coverage on the overwhelming majority of entries
+        ia, i_s = _index_dets(da), _index_dets(ds)
+        common = set(ia) & set(i_s)
+        assert len(common) >= 0.9 * max(len(ia), len(i_s))
+        close = total = 0
+        for k in common:
+            for (sa, ba), (ss, bs) in zip(ia[k], i_s[k]):
+                total += 1
+                if abs(sa - ss) < 5e-3:
+                    close += 1
+        # an UNTRAINED net amplifies the cascades (near-tied scores
+        # everywhere), so only a majority criterion is stable here; with
+        # trained weights the decisive margins make grouped ≈ single.
+        assert close >= 0.6 * total, (close, total)
