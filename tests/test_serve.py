@@ -110,3 +110,53 @@ def test_two_concurrent_serve_instances(tmp_path):
     assert sorted(processed) == ["v0", "v1"], outs
     # no stale locks left behind
     assert not list(work.glob("*.lock"))
+
+
+def test_serve_fused_engine(tmp_path):
+    """--engine fused serves each video with one device dispatch, emitting
+    the same final.json/tubelets.json layout (and the done-marker the lock
+    loop keys on)."""
+    data = tmp_path / "data"
+    work = tmp_path / "work"
+    data.mkdir()
+    gen = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from vdetlib_tpu.data.synth import SynthConfig, make_video, write_frames;"
+        "from vdetlib_tpu.protos import proto_dump;"
+        f"root = {str(data)!r};"
+        "exec('''\n"
+        "for i in range(2):\n"
+        "    sv = make_video(SynthConfig(num_frames=4, height=96, width=128,\n"
+        "                                num_classes=4, seed=i), video=f'f{i}')\n"
+        "    vid = write_frames(sv, root)\n"
+        "    proto_dump(vid, f'{root}/f{i}.vid.json')\n"
+        "    boxes = [\n"
+        "        {'frame': int(f['frame']), 'bbox': [float(10+j*8), 10.0, float(50+j*8), 50.0]}\n"
+        "        for f in vid['frames'] for j in range(4)\n"
+        "    ]\n"
+        "    proto_dump({'video': sv.video, 'boxes': boxes}, f'{root}/f{i}.box.json')\n"
+        "''')"
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO, env=env)
+    serve_code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from vdetlib_tpu.cli.serve import main;"
+        f"raise SystemExit(main([{str(data)!r}, {str(work)!r}, '--model', 'tiny',"
+        "'--num_classes', '4', '--image_hw', '96', '128', '--max_rois', '16',"
+        "'--engine', 'fused', '--once']))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", serve_code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    from vdetlib_tpu.protos import proto_load
+
+    for i in range(2):
+        final = proto_load(str(work / f"f{i}" / "final.json"))
+        tub = proto_load(str(work / f"f{i}" / "tubelets.json"))
+        assert final["video"] == f"f{i}" and len(final["detections"]) > 0
+        assert len(tub["tracks"]) > 0
+    assert not list(work.glob("*.lock"))

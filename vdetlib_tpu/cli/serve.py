@@ -77,6 +77,11 @@ def main(argv=None) -> int:
     p.add_argument("--image_hw", type=int, nargs=2, default=[240, 320])
     p.add_argument("--max_rois", type=int, default=64)
     p.add_argument("--poll_sec", type=float, default=2.0)
+    p.add_argument("--engine", default="staged", choices=["staged", "fused"],
+                   help="staged = per-stage protos (per-stage crash resume); "
+                        "fused = ONE device dispatch per video (serving "
+                        "latency path; requires box protos — videos without "
+                        "proposals fall back to the staged engine)")
     p.add_argument("--once", action="store_true", help="drain the queue and exit")
     p.add_argument("--lock_ttl_sec", type=float, default=3600.0,
                    help="reclaim locks older than this (crashed owners)")
@@ -116,8 +121,14 @@ def main(argv=None) -> int:
         link=LinkOptions(num_classes=args.num_classes),
     )
 
+    fused_engine = None
+    if args.engine == "fused":
+        from vdetlib_tpu.pipeline.fused_runner import FusedEngine
+
+        fused_engine = FusedEngine(models, cfg)
+
     os.makedirs(args.workdir, exist_ok=True)
-    log.info("serving %s → %s", args.data_dir, args.workdir)
+    log.info("serving %s → %s (%s engine)", args.data_dir, args.workdir, args.engine)
     processed = 0
     while True:
         did_work = False
@@ -134,7 +145,17 @@ def main(argv=None) -> int:
                 bf = vf.replace(".vid.json", ".box.json")
                 box = proto_load(bf) if os.path.exists(bf) else None
                 log.info("processing %s (%d frames)", name, len(vid["frames"]))
-                run_video(args.workdir, vid, box, models, cfg)
+                if fused_engine is not None and box is not None:
+                    from vdetlib_tpu.protos import proto_dump
+
+                    loaded = fused_engine.load(vid, box)
+                    det_proto, tubelets = fused_engine.run(vid, loaded)
+                    vdir = os.path.join(args.workdir, name)
+                    os.makedirs(vdir, exist_ok=True)
+                    proto_dump(tubelets, os.path.join(vdir, "tubelets.json"))
+                    proto_dump(det_proto, done_marker)
+                else:
+                    run_video(args.workdir, vid, box, models, cfg)
                 processed += 1
                 did_work = True
             finally:
