@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("dets", nargs="+", help="final det_proto files to calibrate")
     p.add_argument("--method", default="rank", choices=["rank", "platt"])
+    p.add_argument("--blend", type=float, default=0.0,
+                   help="rank: new = (1-blend)*quantile + blend*raw — 0 is a "
+                        "pure rank transform (junk-only videos get promoted); "
+                        "raise to keep cross-video evidence")
     p.add_argument("--suffix", default=".cal.json",
                    help="output path = input path minus .json + suffix")
     p.add_argument("--val_dets", nargs="*", default=[],
@@ -61,7 +65,7 @@ def main(argv=None) -> int:
                     json.dump(cal.to_json(), f)
         transform = cal.transform
     else:
-        transform = rank_normalize
+        transform = lambda dp: rank_normalize(dp, blend=args.blend)
 
     for path in args.dets:
         dp = proto_load(path)

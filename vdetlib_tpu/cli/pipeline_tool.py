@@ -62,6 +62,11 @@ def main(argv=None) -> int:
         help="per-video score calibration before pooled eval "
         "(evaluation/calibration.py; 'rank' = label-free quantile transform)",
     )
+    p.add_argument(
+        "--calibrate_blend", type=float, default=0.0,
+        help="rank calibration: (1-blend)*quantile + blend*raw (0 = pure "
+        "rank transform — junk-only videos get promoted; see calibration.py)",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -166,7 +171,7 @@ def main(argv=None) -> int:
                 if args.calibrate == "rank":
                     from vdetlib_tpu.evaluation.calibration import rank_normalize
 
-                    dp = rank_normalize(dp)
+                    dp = rank_normalize(dp, blend=args.calibrate_blend)
                 pairs.append((dp, proto_load(af)))
         m, aps = vid_map(pairs)
         for ci in sorted(aps):

@@ -135,8 +135,9 @@ def main(argv=None) -> int:
         for vf in sorted(glob.glob(os.path.join(args.data_dir, "*.vid.json"))):
             name = os.path.basename(vf).replace(".vid.json", "")
             done_marker = os.path.join(args.workdir, name, "final.json")
+            quarantine = os.path.join(args.workdir, name, "quarantine.json")
             lock = os.path.join(args.workdir, name + ".lock")
-            if os.path.exists(done_marker):
+            if os.path.exists(done_marker) or os.path.exists(quarantine):
                 continue
             if not try_lock(lock, ttl_sec=args.lock_ttl_sec):
                 continue
@@ -145,19 +146,53 @@ def main(argv=None) -> int:
                 bf = vf.replace(".vid.json", ".box.json")
                 box = proto_load(bf) if os.path.exists(bf) else None
                 log.info("processing %s (%d frames)", name, len(vid["frames"]))
-                if fused_engine is not None and box is not None:
-                    from vdetlib_tpu.protos import proto_dump
+                # Per-video errors must not kill the daemon: a raising video
+                # would otherwise be re-picked after the lock vanishes on
+                # restart — a crash loop on one bad input. Fused-load errors
+                # (varying decode scales, missing proposals) fall back to the
+                # staged engine; a video failing BOTH engines is quarantined
+                # (marker skips it until an operator deletes the file).
+                engine_used = "staged"
+                tried_fused = fused_engine is not None and box is not None
+                try:
+                    if tried_fused:
+                        from vdetlib_tpu.protos import proto_dump
 
-                    loaded = fused_engine.load(vid, box)
-                    det_proto, tubelets = fused_engine.run(vid, loaded)
-                    vdir = os.path.join(args.workdir, name)
-                    os.makedirs(vdir, exist_ok=True)
-                    proto_dump(tubelets, os.path.join(vdir, "tubelets.json"))
-                    proto_dump(det_proto, done_marker)
-                else:
+                        loaded = fused_engine.load(vid, box)
+                        det_proto, tubelets = fused_engine.run(vid, loaded)
+                        vdir = os.path.join(args.workdir, name)
+                        os.makedirs(vdir, exist_ok=True)
+                        proto_dump(tubelets, os.path.join(vdir, "tubelets.json"))
+                        proto_dump(det_proto, done_marker)
+                        engine_used = "fused"
+                    else:
+                        if fused_engine is not None:
+                            log.info(
+                                "%s: no box proto — fused engine falls back "
+                                "to staged", name,
+                            )
+                        run_video(args.workdir, vid, box, models, cfg)
+                except Exception as e:  # noqa: BLE001 — daemon must survive
+                    if not tried_fused or engine_used == "fused":
+                        raise
+                    log.warning(
+                        "%s: fused engine failed (%s: %s) — retrying staged",
+                        name, type(e).__name__, e,
+                    )
                     run_video(args.workdir, vid, box, models, cfg)
+                log.info("done %s (engine=%s)", name, engine_used)
                 processed += 1
                 did_work = True
+            except Exception as e:  # noqa: BLE001
+                log.exception("%s: failed on both engines — quarantined", name)
+                os.makedirs(os.path.dirname(quarantine), exist_ok=True)
+                with open(quarantine, "w", encoding="utf-8") as f:
+                    json.dump(
+                        {"video": name, "error": f"{type(e).__name__}: {e}",
+                         "host": socket.gethostname(), "time": time.time()},
+                        f,
+                    )
+                did_work = True  # progress was made (the video left the queue)
             finally:
                 shutil.rmtree(lock, ignore_errors=True)
         if args.once and not did_work:

@@ -9,9 +9,12 @@ videos incorrectly even when every per-video ranking is right.
 Two strategies:
 
 - ``rank_normalize``: label-free per-video quantile transform — each video's
-  per-class scores are replaced by their within-video rank quantile scaled by
-  the video's max score (the max preserves cross-video evidence: a video
-  whose best detection is weak stays globally weak).
+  per-class scores are replaced by their within-video rank quantile. At the
+  default ``blend=0`` this is a PURE rank transform: every video's best
+  detection maps to ~1.0, including a junk-only video's (the documented
+  tradeoff — see the function docstring and RESULTS.md "Calibration,
+  honestly quantified"). ``blend>0`` mixes raw scores back in to retain
+  cross-video evidence.
 - ``PlattCalibrator``: per-class logistic (Platt) scaling score → P(TP), fit
   on a labeled validation split (det/annot proto pairs, greedy IoU matching
   — same matching as evaluation/vid_map.py). Monotone per class, so every
@@ -196,13 +199,15 @@ def calibrate_det_protos(
     det_protos: Sequence[dict],
     method: str = "rank",
     val_pairs: Sequence[tuple[dict, dict]] | None = None,
+    blend: float = 0.0,
 ) -> list[dict]:
     """Calibrate many videos' final det protos for pooled (multi-video) eval.
 
-    method "rank" needs no labels; "platt" fits on ``val_pairs`` first.
+    method "rank" needs no labels (``blend`` mixes raw scores back in);
+    "platt" fits on ``val_pairs`` first.
     """
     if method == "rank":
-        return [rank_normalize(dp) for dp in det_protos]
+        return [rank_normalize(dp, blend=blend) for dp in det_protos]
     if method == "platt":
         if not val_pairs:
             raise ValueError("platt calibration needs labeled val_pairs")

@@ -225,17 +225,20 @@ def flow_video(
         # the XLA form streams (T-1, H, W) temporaries through HBM every
         # shift iteration and is HBM-bound.
         gray_h = _avg_pool2(gray).astype(jnp.bfloat16)
-        if jax.default_backend() == "tpu":
-            from vdetlib_tpu.kernels.flow_pallas import flow_level_pallas
+        from vdetlib_tpu.kernels.flow_pallas import flow_level_pallas
 
-            f = flow_level_pallas(
-                gray_h[:-1], gray_h[1:], search=5, radius=radius,
-                temperature=temperature,
-            )
-        else:
-            f = jax.vmap(
-                lambda a, b: _flow_level(a, b, 5, radius, temperature)
-            )(gray_h[:-1], gray_h[1:])
+        # per LOWERING platform (not process default backend), so CPU-placed
+        # computations on a TPU host avoid the TPU-only pallas_call
+        f = jax.lax.platform_dependent(
+            gray_h[:-1],
+            gray_h[1:],
+            tpu=lambda a, b: flow_level_pallas(
+                a, b, search=5, radius=radius, temperature=temperature
+            ),
+            default=lambda a, b: jax.vmap(
+                lambda x, y: _flow_level(x, y, 5, radius, temperature)
+            )(a, b),
+        )
         f = f.astype(jnp.float32) * 2.0  # half-res displacements → full-res px
         if not upsample:
             # (T-1, H/2, W/2, 2) grid, values in FULL-res pixels — consumers

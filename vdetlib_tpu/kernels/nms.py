@@ -210,19 +210,26 @@ def batched_nms(
     Typical use: per-frame per-class NMS over a (T, C, N) snippet. On TPU
     with a static threshold this dispatches to the Pallas packed-fixpoint
     kernel (kernels/nms_pallas.py — adjacency stays in VMEM); elsewhere the
-    sort-free XLA fixpoint runs. All paths share the oracle's exact keep set;
-    nms_xla remains for callers that need the ranked visit order.
+    sort-free XLA fixpoint runs. The choice is made per LOWERING platform
+    (``lax.platform_dependent``), not per process-default backend, so
+    CPU-placed computations on a TPU host (and AOT lowerings for another
+    platform) get the right path. All paths share the oracle's exact keep
+    set; nms_xla remains for callers that need the ranked visit order.
     """
     n = scores.shape[-1]
-    if (
-        n <= 128
-        and not isinstance(thresh, jax.core.Tracer)
-        and jax.default_backend() == "tpu"
-    ):
+    if n <= 128 and not isinstance(thresh, jax.core.Tracer):
         from vdetlib_tpu.kernels.nms_pallas import batched_nms_pallas
 
-        return batched_nms_pallas(
-            boxes, scores, valid, float(thresh), offset=offset
+        return jax.lax.platform_dependent(
+            boxes,
+            scores,
+            valid,
+            tpu=lambda b, s, v: batched_nms_pallas(
+                b, s, v, float(thresh), offset=offset
+            ),
+            default=lambda b, s, v: nms_unsorted_fixpoint(
+                b, s, v, thresh, offset=offset
+            ),
         )
     return nms_unsorted_fixpoint(boxes, scores, valid, thresh, offset=offset)
 
@@ -241,26 +248,35 @@ def nms_grouped(
     detection slot carries exactly ONE class, as in the fused pipeline's
     slot-packed det set) but with a single (N, N) IoU matrix and one fixpoint
     for all groups — ~G× cheaper than broadcasting the boxes per group. On
-    TPU with a static threshold the Pallas in-VMEM fixpoint kernel runs.
+    TPU with a static threshold the Pallas in-VMEM fixpoint kernel runs
+    (selected per lowering platform — see :func:`batched_nms`).
     """
     n = scores.shape[-1]
-    if (
-        n <= 512
-        and not isinstance(thresh, jax.core.Tracer)
-        and jax.default_backend() == "tpu"
-    ):
+    if n <= 512 and not isinstance(thresh, jax.core.Tracer):
         from vdetlib_tpu.kernels.nms_pallas import nms_pallas_grouped
 
         lead = scores.shape[:-1]
-        keep = nms_pallas_grouped(
-            boxes.reshape((-1, n, 4)),
-            scores.reshape((-1, n)),
-            valid.reshape((-1, n)),
-            groups.reshape((-1, n)),
-            float(thresh),
-            offset=offset,
+
+        def pallas_path(b, s, v, g):
+            return nms_pallas_grouped(
+                b.reshape((-1, n, 4)),
+                s.reshape((-1, n)),
+                v.reshape((-1, n)),
+                g.reshape((-1, n)),
+                float(thresh),
+                offset=offset,
+            ).reshape(lead + (n,))
+
+        return jax.lax.platform_dependent(
+            boxes,
+            scores,
+            valid,
+            groups,
+            tpu=pallas_path,
+            default=lambda b, s, v, g: nms_unsorted_fixpoint(
+                b, s, v, thresh, offset=offset, groups=g
+            ),
         )
-        return keep.reshape(lead + (n,))
     return nms_unsorted_fixpoint(
         boxes, scores, valid, thresh, offset=offset, groups=groups
     )

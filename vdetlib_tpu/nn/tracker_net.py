@@ -39,6 +39,13 @@ class TrackerConfig:
     scale_penalty: float = 0.975  # multiplier on non-unity scale peaks
 
     @property
+    def stride(self) -> int:
+        # matches TrackerNet's conv strides (2 for the first two stages);
+        # every ROI-align position derives from THIS, not a literal 4, so a
+        # features-tuple change cannot silently shift the coordinate scale
+        return 2 ** min(2, len(self.features))
+
+    @property
     def search_pool(self) -> int:
         # same bin resolution over the larger window
         return int(round(self.template_pool * self.search_factor))
@@ -66,12 +73,12 @@ class TrackerNet(nn.Module):
 
     @property
     def stride(self) -> int:
-        return 4
+        return self.config.stride
 
 
 def extract_template(feat, box, cfg: TrackerConfig):
     """Anchor-box template features: (P, P, C), L2-normalized."""
-    pooled = roi_align(feat, box[None], stride=4, pool=cfg.template_pool)[0]
+    pooled = roi_align(feat, box[None], stride=cfg.stride, pool=cfg.template_pool)[0]
     pooled = pooled.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(pooled * pooled) + 1e-6)
     return pooled / norm

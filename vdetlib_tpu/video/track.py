@@ -103,7 +103,8 @@ def ncc_update(feat_t, box, template, cfg):
         # NCC peaks are smooth enough that ~3-digit interpolation does not
         # move the argmax (IoU-tolerance tests unchanged).
         sfeat = roi_align(
-            feat_t, win[None], stride=4, pool=Q, compute_dtype=jnp.bfloat16
+            feat_t, win[None], stride=cfg.stride, pool=Q,
+            compute_dtype=jnp.bfloat16,
         )[0]
         resp = correlate(template, sfeat)  # (R, R)
         py, px, peak = soft_argmax_2d(resp)
@@ -220,7 +221,8 @@ def track_batch(
         fb, fc, fa, bb, bc, ba = track_scan_pallas(
             feats, anchor_ts, anchor_boxes, templates,
             Q=cfg.search_pool, P=cfg.template_pool,
-            factor=cfg.search_factor, stride=4, conf_thresh=conf_thresh,
+            factor=cfg.search_factor, stride=cfg.stride,
+            conf_thresh=conf_thresh,
         )
         fb, fc, fa, bb, bc, ba = (
             jnp.moveaxis(v, 0, 1) for v in (fb, fc, fa, bb, bc, ba)
