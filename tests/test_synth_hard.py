@@ -1,0 +1,168 @@
+"""Hard-tier synthetic benchmark generator (data/synth.py::hard_config).
+
+The hard tier is round 3's yardstick (RESULTS.md "hard tier"): it must be
+deterministic, must NOT perturb the easy-tier fixtures, and every failure
+mode it claims to inject (occlusion, flicker distractors, camera motion,
+appearance drift) must actually be present in the emitted arrays/protos.
+"""
+
+import numpy as np
+import pytest
+
+from vdetlib_tpu.data.synth import (
+    SynthConfig,
+    annot_proto,
+    box_proto,
+    det_proto_from_gt,
+    hard_config,
+    make_video,
+)
+
+
+HARD = hard_config(num_frames=30, seed=0, height=240, width=320, num_classes=6)
+
+
+@pytest.fixture(scope="module")
+def hard_video():
+    return make_video(HARD)
+
+
+def test_easy_tier_pixels_unchanged():
+    # bit-level guard: the hard-tier knobs must not touch the original
+    # generator's rng consumption (golden protos depend on these pixels)
+    sv = make_video(SynthConfig(num_frames=10, seed=3))
+    assert int(np.asarray(sv.frames, np.int64).sum()) == 118493242
+    assert abs(float(sv.gt_boxes.sum()) - 21277.998) < 0.01
+    assert sv.gt_visible.all() and (sv.gt_occluded == 0).all()
+
+
+def test_hard_deterministic(hard_video):
+    sv2 = make_video(HARD)
+    assert (sv2.frames == hard_video.frames).all()
+    assert (sv2.gt_boxes == hard_video.gt_boxes).all()
+    assert (sv2.gt_visible == hard_video.gt_visible).all()
+    assert (sv2.gt_occluded == hard_video.gt_occluded).all()
+
+
+def test_hard_shapes_and_bounds(hard_video):
+    sv = hard_video
+    cfg = sv.config
+    assert sv.frames.shape == (30, 240, 320, 3) and sv.frames.dtype == np.uint8
+    K = cfg.num_objects
+    assert sv.gt_boxes.shape == (K, 30, 4)
+    assert (sv.gt_boxes[..., 0] >= 0).all() and (sv.gt_boxes[..., 2] <= 319).all()
+    assert (sv.gt_boxes[..., 1] >= 0).all() and (sv.gt_boxes[..., 3] <= 239).all()
+    assert (sv.gt_boxes[..., 2] >= sv.gt_boxes[..., 0]).all()
+
+
+def test_hard_occlusion_present_but_not_total(hard_video):
+    occ = hard_video.gt_occluded
+    assert ((occ > 0.5).mean(axis=1) > 0).any(), "no object ever occluded"
+    # every object keeps unoccluded in-view frames (something to track from)
+    clear = hard_video.gt_visible & (occ < 0.5)
+    assert clear.any(axis=1).all(), "an object has no clear frame at all"
+
+
+def test_crossing_paths_objects_overlap():
+    # two objects must actually overlap at some frame (the crossing)
+    from vdetlib_tpu.utils.common import iou
+
+    sv = make_video(hard_config(
+        num_frames=30, seed=1, num_occluders=0, num_distractors=0,
+        camera_pan_amp=0.0, camera_jitter=0.0,
+    ))
+    K, T = sv.gt_boxes.shape[:2]
+    best = 0.0
+    for t in range(T):
+        m = iou(sv.gt_boxes[:, t], sv.gt_boxes[:, t])
+        np.fill_diagonal(m, 0)
+        best = max(best, float(m.max()))
+    assert best > 0.3, f"crossing paths never overlap (max IoU {best})"
+
+
+def test_distractors_change_pixels_and_flicker():
+    base = dict(num_frames=20, seed=2, num_occluders=0,
+                camera_pan_amp=0.0, camera_jitter=0.0, appearance_drift=0.0)
+    with_d = make_video(hard_config(num_distractors=3, **base))
+    without = make_video(hard_config(num_distractors=0, **base))
+    diff = (with_d.frames != without.frames).any(axis=(1, 2, 3))
+    assert diff.any(), "distractors drew nothing"
+    assert not diff.all(), "distractors never flicker off"
+    # distractors carry NO ground truth
+    assert with_d.gt_boxes.shape == without.gt_boxes.shape
+
+
+def test_camera_motion_moves_background():
+    base = dict(num_frames=10, seed=3, num_occluders=0, num_distractors=0,
+                appearance_drift=0.0, crossing_paths=False, contrast=1.0)
+    pan = make_video(hard_config(camera_pan_amp=10.0, camera_jitter=0.0, **base))
+    # background pixels differ between frames (camera moved), in a region
+    # away from the objects: compare frame borders
+    border0 = pan.frames[0, :8, :, :]
+    changed = [
+        (pan.frames[t, :8, :, :] != border0).mean() for t in range(1, 10)
+    ]
+    assert max(changed) > 0.2, "camera pan left the background static"
+
+
+def test_appearance_drift_changes_object_brightness():
+    base = dict(num_frames=24, seed=4, num_occluders=0, num_distractors=0,
+                camera_pan_amp=0.0, camera_jitter=0.0, crossing_paths=False)
+    drift = make_video(hard_config(appearance_drift=0.4, **base))
+    flat = make_video(hard_config(appearance_drift=0.0, **base))
+    # same geometry, different pixels inside object boxes over time
+    assert (drift.gt_boxes == flat.gt_boxes).all()
+    k = 0
+    mean_by_t = []
+    for t in range(24):
+        x1, y1, x2, y2 = drift.gt_boxes[k, t].astype(int)
+        mean_by_t.append(drift.frames[t, y1:y2 + 1, x1:x2 + 1].mean())
+    assert np.ptp(mean_by_t) > 10, "no visible gain drift on the object"
+
+
+def test_annot_skips_out_of_view_entries():
+    sv = make_video(hard_config(
+        num_frames=20, seed=5, camera_pan_amp=60.0, camera_jitter=0.0,
+        num_occluders=0, num_distractors=0,
+    ))
+    ap = annot_proto(sv)
+    n_entries = sum(len(a["track"]) for a in ap["annotations"])
+    assert n_entries == int(sv.gt_visible.sum())
+    if not sv.gt_visible.all():
+        assert n_entries < sv.gt_visible.size
+
+
+def test_oracle_dets_respect_occlusion(hard_video):
+    dp = det_proto_from_gt(hard_video)
+    K, T = hard_video.gt_boxes.shape[:2]
+    fids = hard_video.frame_ids
+    # occluded object-frames emit no near-GT detection of that class
+    from vdetlib_tpu.utils.common import iou
+
+    for k in range(K):
+        for t in range(T):
+            if hard_video.gt_occluded[k, t] <= 0.5:
+                continue
+            near = [
+                d for d in dp["detections"]
+                if d["frame"] == fids[t]
+                and d["scores"][0]["class_index"] == int(hard_video.gt_classes[k])
+                and d["scores"][0]["score"] > 0.5
+                and iou([d["bbox"]], [hard_video.gt_boxes[k, t]])[0, 0] > 0.7
+            ]
+            assert not near, (k, t)
+
+
+def test_oracle_dropout_windows_are_contiguous():
+    sv = make_video(SynthConfig(num_frames=30, seed=6, num_objects=2))
+    full = det_proto_from_gt(sv)
+    holey = det_proto_from_gt(sv, dropout_windows=2)
+    assert len(holey["detections"]) < len(full["detections"])
+
+
+def test_box_proto_fills_budget(hard_video):
+    bp = box_proto(hard_video)
+    per_frame = {}
+    for b in bp["boxes"]:
+        per_frame[b["frame"]] = per_frame.get(b["frame"], 0) + 1
+    assert all(v == hard_video.config.proposals_per_frame for v in per_frame.values())

@@ -14,6 +14,7 @@ from vdetlib_tpu.data.synth import (
     annot_proto,
     box_proto,
     det_proto_from_gt,
+    hard_config,
     make_video,
     write_frames,
 )
@@ -40,21 +41,42 @@ def main(argv=None) -> int:
         help="per-frame relative object size change (e.g. 0.035 = objects "
         "zoom ~3.5%%/frame; exercises scale-adaptive tracking)",
     )
+    p.add_argument(
+        "--tier", default="easy", choices=["easy", "hard"],
+        help="hard: crossing/occluded objects, camouflaged occluder bars, "
+        "flickering distractors, camera pan+jitter, appearance drift, low "
+        "contrast (data/synth.py::hard_config) — the regime where the "
+        "temporal stages must earn the mAP back",
+    )
+    p.add_argument("--num_objects", type=int, default=None,
+                   help="objects per video (default: tier preset)")
+    p.add_argument(
+        "--dropout_windows", type=int, default=0,
+        help="synthetic det_protos (--with_dets): per-object count of "
+        "blind windows (occlusion-shaped oracle-detector failures)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(args.num_videos):
         name = f"synth{i:03d}"
-        cfg = SynthConfig(
+        common = dict(
             num_frames=args.frames,
             height=args.height,
             width=args.width,
             num_classes=args.num_classes,
             proposals_per_frame=args.proposals,
             seed=args.seed + i,
-            class_coded_appearance=args.class_coded,
             scale_rate=args.scale_rate,
         )
+        if args.num_objects is not None:
+            common["num_objects"] = args.num_objects
+        if args.tier == "hard":
+            cfg = hard_config(**common)
+        else:
+            cfg = SynthConfig(
+                class_coded_appearance=args.class_coded, **common
+            )
         sv = make_video(cfg, video=name)
         vid = write_frames(sv, os.path.join(args.out_dir, "frames"))
         proto_dump(vid, os.path.join(args.out_dir, f"{name}.vid.json"))
@@ -62,7 +84,8 @@ def main(argv=None) -> int:
         proto_dump(annot_proto(sv), os.path.join(args.out_dir, f"{name}.annot.json"))
         if args.with_dets:
             proto_dump(
-                det_proto_from_gt(sv), os.path.join(args.out_dir, f"{name}.det.json")
+                det_proto_from_gt(sv, dropout_windows=args.dropout_windows),
+                os.path.join(args.out_dir, f"{name}.det.json"),
             )
         print(f"{name}: {args.frames} frames")
     print(f"dataset at {args.out_dir}: {args.num_videos} videos")

@@ -83,6 +83,9 @@ def main(argv=None) -> int:
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--no_class_coded", action="store_true",
                    help="legacy round-1 data: appearance independent of class")
+    p.add_argument("--tier", default="easy", choices=["easy", "hard"],
+                   help="hard: train on the hard-tier distribution "
+                   "(occlusion/distractors/camera motion — gen_synth --tier)")
     args = p.parse_args(argv)
 
     import jax
@@ -110,14 +113,18 @@ def main(argv=None) -> int:
     class_coded = not args.no_class_coded
 
     def synth_cfg(seed):
-        return SynthConfig(
+        common = dict(
             num_frames=args.frames_per_video,
             height=h,
             width=w,
             num_classes=args.num_classes,
             seed=seed,
-            class_coded_appearance=class_coded,
         )
+        if args.tier == "hard":
+            from vdetlib_tpu.data.synth import hard_config
+
+            return hard_config(**common)
+        return SynthConfig(class_coded_appearance=class_coded, **common)
 
     videos = [make_video(synth_cfg(args.seed + i)) for i in range(args.num_videos)]
     # held-out videos live in a disjoint seed space

@@ -158,6 +158,10 @@ def make_training_batch(sv, rng: np.random.Generator, opts, num_classes: int):
     for bi, t in enumerate(idx):
         gt_b[bi] = sv.gt_boxes[:, t]
         gt_c[bi] = sv.gt_classes
+        # hard tier: don't train on evidence-free labels — out-of-view or
+        # mostly-occluded boxes stay GT for EVAL, but as training targets
+        # they would teach the detector to fire on occluder pixels
+        gt_m[bi] = sv.gt_visible[:, t] & (sv.gt_occluded[:, t] < 0.5)
         n = 0
         # jittered gt (fg-rich) then random negatives
         while n < R:
