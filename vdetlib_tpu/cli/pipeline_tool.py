@@ -38,6 +38,12 @@ def main(argv=None) -> int:
                         "tubelet box perturbation + detector max-pooling")
     p.add_argument("--perturb_n", type=int, default=8,
                    help="perturbations per tubelet box (perturb stage)")
+    p.add_argument("--tubelet_boxes", action="store_true",
+                   help="T-CNN tubelet-box semantics: live track boxes with "
+                        "no matched detection enter the det set scored by "
+                        "the tubelet statistic (gap-filling through "
+                        "occlusions/detector dropouts) — both engines, "
+                        "parity-locked")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (coordinator from "
@@ -119,7 +125,9 @@ def main(argv=None) -> int:
         ),
         track=TrackOptions(max_tracks=args.max_tracks, image_hw=hw),
         tracker_cfg=trk_cfg,
-        rescore=RescoreOptions(num_classes=args.num_classes),
+        rescore=RescoreOptions(
+            num_classes=args.num_classes, tubelet_boxes=args.tubelet_boxes
+        ),
         link=LinkOptions(num_classes=args.num_classes),
         perturb=perturb_opts,
         stages=tuple(args.stages.split(",")),

@@ -81,6 +81,8 @@ class FusedConfig:
     suppress_thresh: float = 0.3
     max_paths: int = 100
     link_rescore: str = "avg"
+    # tubelet boxes as detections (RescoreOptions.tubelet_boxes)
+    tubelet_boxes: bool = False
     # flow
     flow_preset: str = "fast"
     flow_levels: int = 3
@@ -243,7 +245,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
         oscores_vec = oscores_vec * omask[..., None]
 
         # ---- tubelet rescoring (config 4b; staged: video/rescore.py) ----
-        new_scores, stats = rescore_arrays(
+        new_scores, stats, matched_any = rescore_arrays(
             oboxes,
             oscores_vec,
             omask,
@@ -254,6 +256,31 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             top_ratio=cfg.top_ratio,
             boost=cfg.boost,
         )
+
+        if cfg.tubelet_boxes:
+            # ---- tubelet boxes as detections (staged: rescore.py) ----
+            # live unmatched track boxes (the detector's gap frames) append
+            # as det slots scored by the tubelet statistic; the union is
+            # rank-compacted back to the output budget in the same file
+            # order the staged link stage's proto repack uses (dets first,
+            # then tracks by index).
+            inj_valid = (
+                ta
+                & ~matched_any
+                & (jnp.max(stats[:, 1:], axis=1) > 0)[:, None]
+            )  # (K, T)
+            inj_scores = stats[:, None, :] * inj_valid[..., None]  # (K,T,C)
+            u_boxes = jnp.concatenate(
+                [oboxes, jnp.swapaxes(tb, 0, 1)], axis=1
+            )
+            u_scores = jnp.concatenate(
+                [new_scores, jnp.swapaxes(inj_scores, 0, 1)], axis=1
+            )
+            u_mask = jnp.concatenate([omask, inj_valid.T], axis=1)
+            kept3, idx3 = _rank_mask(u_mask, Nb)
+            oboxes, new_scores, omask = _compact_by_rank(
+                idx3, Nb, u_boxes, u_scores, kept3
+            )
 
         # ---- seq-NMS linking (config 5; staged: video/link.py) ----
         cls_scores = jnp.moveaxis(new_scores[:, :, 1:], 2, 0)  # (C-1, T, Nb)

@@ -80,6 +80,7 @@ def fused_config_from_pipeline(cfg) -> FusedConfig:
         suppress_thresh=cfg.link.suppress_thresh,
         max_paths=cfg.link.max_paths,
         link_rescore=cfg.link.rescore,
+        tubelet_boxes=cfg.rescore.tubelet_boxes,
         flow_preset=cfg.mgp.flow_preset,
         flow_levels=cfg.mgp.flow_levels,
         flow_search=cfg.mgp.flow_search,

@@ -43,6 +43,13 @@ class RescoreOptions:
     max_boxes: int = 64
     num_classes: int = 31
     max_tracks: int = 64
+    # T-CNN tubelet-box semantics (SURVEY.md §2.2 perturbation row, §3.2):
+    # track boxes become detections. Injection is gap-filling: a live track
+    # box with NO IoU-matched detection at its frame (occlusion windows,
+    # detector dropouts) enters the det set scored by the tubelet's
+    # per-class statistic — track GEOMETRY reaches the final output instead
+    # of only feeding the rescoring statistic.
+    tubelet_boxes: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("top_ratio", "boost"))
@@ -69,6 +76,8 @@ def rescore_arrays(
     Returns:
       new_scores: (T, N, C) rescored detection scores.
       tubelet_stats: (K, C) per-track per-class statistics.
+      matched_any: (K, T) bool — track k has an IoU-matched det at frame t
+        (False on live frames = the gaps tubelet-box injection fills).
     """
     T, N, C = det_scores.shape
     K = trk_boxes.shape[0]
@@ -114,7 +123,8 @@ def rescore_arrays(
         on_track[..., None], boosted, det_scores * bg_decay
     )
     new_scores = new_scores * det_mask[..., None]
-    return new_scores, stats
+    matched_any = jnp.swapaxes(jnp.any(match, axis=2), 0, 1)  # (K, T)
+    return new_scores, stats, matched_any
 
 
 def tubelet_rescore(
@@ -138,7 +148,7 @@ def tubelet_rescore(
     if trk_boxes.shape[0] == 0:
         trk_boxes = np.zeros((1, len(fids), 4), np.float32)
         trk_mask = np.zeros((1, len(fids)), bool)
-    new_scores, stats = rescore_arrays(
+    new_scores, stats, matched_any = rescore_arrays(
         jnp.asarray(det_boxes),
         jnp.asarray(det_scores),
         jnp.asarray(det_mask),
@@ -152,9 +162,36 @@ def tubelet_rescore(
     )
     new_scores = np.asarray(new_scores)
     stats = np.asarray(stats)
+    matched_any = np.asarray(matched_any)
+
+    out_boxes, out_scores, out_mask = det_boxes, new_scores, det_mask
+    if opts.tubelet_boxes:
+        # gap-filling injection: live unmatched track boxes append as det
+        # slots (AFTER the det slots — the downstream link stage's
+        # file-order budget sees dets first, exactly like the fused path's
+        # rank compaction)
+        K = trk_boxes.shape[0]
+        C = new_scores.shape[-1]
+        T = len(fids)
+        inj_valid = (
+            trk_mask
+            & ~matched_any
+            & (stats[:, 1:].max(axis=1) > 0)[:, None]
+        )  # (K, T)
+        inj_scores = (
+            np.broadcast_to(stats[:, None, :], (K, T, C))
+            * inj_valid[..., None]
+        ).astype(np.float32)
+        out_boxes = np.concatenate(
+            [det_boxes, np.swapaxes(trk_boxes, 0, 1)], axis=1
+        )
+        out_scores = np.concatenate(
+            [new_scores, np.swapaxes(inj_scores, 0, 1)], axis=1
+        )
+        out_mask = np.concatenate([det_mask, inj_valid.T], axis=1)
 
     det_out = arrays_to_det_proto(
-        det_boxes, new_scores, det_mask, fids, vid_proto["video"], score_thresh=0.0
+        out_boxes, out_scores, out_mask, fids, vid_proto["video"], score_thresh=0.0
     )
     n_tracks = len(track_proto["tracks"])
     per_track_stats = [
