@@ -174,6 +174,107 @@ def test_backward_retracking_extends_seeds(models):
         assert min(ts) >= 0 and max(ts) < T
 
 
+def test_stream_to_protos_wire_contract(models):
+    """stream_to_protos emits the batch link stage's wire format faithfully:
+    det entries are exactly the positive seq-NMS scores, tubelets mirror
+    path ids, and online-tracker segments arrive sorted and in range."""
+    from vdetlib_tpu.video.stream import stream_to_protos
+
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+    T = 16
+    sv, rois = _make_inputs(T, seed=79)
+
+    def chunks():
+        for s in range(0, T, 8):
+            yield sv.frames[s : s + 8]
+
+    opts = StreamOptions(
+        chunk=8, max_rois=R, num_classes=C, track_slots=6,
+        seed_thresh=0.2, conf_thresh=0.2, max_paths=20,
+    )
+    out = stream_video(
+        det_model, det_params, trk_model, trk_params, trk_cfg,
+        chunks(), rois, opts,
+    )
+    fids = list(range(1, T + 1))
+    det_proto, tubelets, track_proto = stream_to_protos(out, fids, "sv")
+
+    # every positive seq-NMS score appears as exactly one det score entry
+    n_positive = int((out["seq_scores"] > 0).sum())
+    n_entries = sum(len(d["scores"]) for d in det_proto["detections"])
+    assert n_entries == n_positive > 0
+    for d in det_proto["detections"]:
+        assert d["frame"] in set(fids)
+        x1, y1, x2, y2 = d["bbox"]
+        # MGP-propagated boxes are unclipped by convention (the batch stage
+        # emits the same — video/mgp.py::_propagate_hop), so allow the
+        # per-hop motion margin around the frame
+        assert x1 <= x2 and y1 <= y2
+        assert -32 <= x1 and x2 <= HW[1] + 31 and -32 <= y1 and y2 <= HW[0] + 31
+
+    # tubelets: one track per (class, path id), entries frame-sorted
+    n_paths = sum(
+        int(out["path_ids"][l].max()) + 1
+        for l in range(out["path_ids"].shape[0])
+        if out["path_ids"][l].size and out["path_ids"][l].max() >= 0
+    )
+    assert len(tubelets["tracks"]) == n_paths > 0
+    for trk in tubelets["tracks"]:
+        frames = [e["frame"] for e in trk]
+        assert frames == sorted(frames)
+
+    # online tracker segments: sorted, in range, one track per id
+    assert len(track_proto["tracks"]) == len(out["tracks"])
+    for trk in track_proto["tracks"]:
+        frames = [e["frame"] for e in trk]
+        assert frames == sorted(frames)
+        assert all(f in set(fids) for f in frames)
+
+
+def test_stream_cli_end_to_end(models, tmp_path):
+    """The stream tool drives the full wire contract: vid+box protos in,
+    final/tubelets/track protos out, resume-by-existence on rerun."""
+    import vdetlib_tpu.cli.stream as stream_cli
+    from vdetlib_tpu.data.synth import box_proto as synth_box_proto
+    from vdetlib_tpu.data.synth import write_frames
+    from vdetlib_tpu.protos import proto_dump, proto_load
+
+    sv = make_video(
+        SynthConfig(num_frames=12, height=HW[0], width=HW[1], num_classes=C,
+                    seed=80, max_speed=2.0, proposals_per_frame=R),
+        video="svid",
+    )
+    vid = write_frames(sv, str(tmp_path / "frames"))
+    proto_dump(vid, str(tmp_path / "svid.vid.json"))
+    proto_dump(synth_box_proto(sv), str(tmp_path / "svid.box.json"))
+
+    argv = [
+        str(tmp_path / "svid.vid.json"), str(tmp_path / "work"),
+        "--model", "tiny", "--num_classes", str(C),
+        "--image_hw", str(HW[0]), str(HW[1]),
+        "--max_rois", str(R), "--chunk", "8", "--seed_thresh", "0.2",
+    ]
+    assert stream_cli.main(argv) == 0
+    vdir = tmp_path / "work" / "svid"
+    final = proto_load(str(vdir / "final.json"))
+    tubelets = proto_load(str(vdir / "tubelets.json"))
+    track = proto_load(str(vdir / "track.json"))
+    assert final["video"] == "svid"
+    assert track["method"] == "stream_tracker"
+    assert len(final["detections"]) > 0
+    # resume-by-existence: rerun must not rewrite (mtime unchanged)
+    mtime = (vdir / "final.json").stat().st_mtime_ns
+    assert stream_cli.main(argv) == 0
+    assert (vdir / "final.json").stat().st_mtime_ns == mtime
+    # emitted protos compose with the downstream eval tooling
+    from vdetlib_tpu.evaluation.vid_map import vid_map
+
+    from vdetlib_tpu.data.synth import annot_proto as synth_annot_proto
+
+    m, _ = vid_map([(final, synth_annot_proto(sv))])
+    assert 0.0 <= m <= 1.0
+
+
 def test_stream_chunked_agrees_with_unchunked(models):
     """Chunked processing with carried state ≈ one big chunk (agreement, not
     exactness: the causal bwd-hop at chunk tails and the finite backtrack

@@ -28,6 +28,7 @@ TOOLS = {
     "gen_synth": "vdetlib_tpu.cli.gen_synth",
     "gen_box_proto": "vdetlib_tpu.cli.gen_box_proto",
     "serve": "vdetlib_tpu.cli.serve",
+    "stream": "vdetlib_tpu.cli.stream",
     "import_vid": "vdetlib_tpu.cli.import_vid",
     "calibrate": "vdetlib_tpu.cli.calibrate",
 }

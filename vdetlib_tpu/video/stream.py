@@ -416,3 +416,55 @@ def stream_video(
         "tracks": track_segments,
         "num_frames": t_global,
     }
+
+
+def stream_to_protos(
+    result: dict,
+    frame_ids,
+    video: str,
+    class_names=None,
+    min_score: float = 0.0,
+) -> tuple[dict, dict, dict]:
+    """Collected stream arrays → wire protos [B json:5 JSON interface].
+
+    Returns (final det_proto, tubelet track_proto, online-tracker
+    track_proto). Emission matches the batch link stage
+    (video/link.py::seq_nms_video): surviving slots carry the seq-NMS path
+    statistic, tubelets are one track per (class, path id). The online
+    tracker's segments become a separate track_proto (method
+    ``stream_tracker``) — the streaming analog of the track stage's output.
+    """
+    from vdetlib_tpu.protos.arrays import arrays_to_det_proto
+    from vdetlib_tpu.video.link import tubelets_from_path_ids
+
+    boxes = np.asarray(result["boxes"])  # (T, N, 4)
+    seq_scores = np.asarray(result["seq_scores"])  # (C-1, T, N)
+    path_ids = np.asarray(result["path_ids"])
+    T, N = boxes.shape[:2]
+    assert len(frame_ids) == T, (len(frame_ids), T)
+    C = seq_scores.shape[0] + 1
+    new_scores = np.zeros((T, N, C), np.float32)
+    new_scores[:, :, 1:] = np.moveaxis(np.maximum(seq_scores, 0.0), 0, 2)
+    mask = np.asarray(result["keep"]).any(axis=1)  # (T, N)
+    det_proto = arrays_to_det_proto(
+        boxes, new_scores, mask, frame_ids, video,
+        class_names=class_names, score_thresh=min_score,
+    )
+    tubelets = tubelets_from_path_ids(
+        boxes, seq_scores, path_ids, frame_ids, video, first_class=1
+    )
+    tracks = []
+    for tid in sorted(result["tracks"]):
+        entries = [
+            {
+                "frame": int(frame_ids[t]),
+                "bbox": [float(v) for v in np.asarray(b)],
+                "score": float(s),
+            }
+            for t, b, s in result["tracks"][tid]
+            if 0 <= t < T
+        ]
+        if entries:
+            tracks.append(entries)
+    track_proto = {"video": video, "method": "stream_tracker", "tracks": tracks}
+    return det_proto, tubelets, track_proto
