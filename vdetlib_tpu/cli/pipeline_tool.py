@@ -44,6 +44,16 @@ def main(argv=None) -> int:
                         "the tubelet statistic (gap-filling through "
                         "occlusions/detector dropouts) — both engines, "
                         "parity-locked")
+    p.add_argument("--anchor_thresh", type=float, default=0.3,
+                   help="min det score to seed a track (TrackOptions)")
+    p.add_argument("--track_conf", type=float, default=0.5,
+                   help="tracker termination confidence (TrackOptions)")
+    p.add_argument("--boost", default="max", choices=["max", "mean"],
+                   help="rescore boost statistic application")
+    p.add_argument("--bg_decay", type=float, default=1.0,
+                   help="score multiplier for dets on no tubelet")
+    p.add_argument("--top_ratio", type=float, default=0.5,
+                   help="tubelet statistic = mean of top this-fraction scores")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (coordinator from "
@@ -123,10 +133,15 @@ def main(argv=None) -> int:
         mgp=MGPOptions(
             window=args.mgp_window, num_classes=args.num_classes, image_hw=hw
         ),
-        track=TrackOptions(max_tracks=args.max_tracks, image_hw=hw),
+        track=TrackOptions(
+            max_tracks=args.max_tracks, image_hw=hw,
+            anchor_thresh=args.anchor_thresh, conf_thresh=args.track_conf,
+        ),
         tracker_cfg=trk_cfg,
         rescore=RescoreOptions(
-            num_classes=args.num_classes, tubelet_boxes=args.tubelet_boxes
+            num_classes=args.num_classes, tubelet_boxes=args.tubelet_boxes,
+            boost=args.boost, bg_decay=args.bg_decay,
+            top_ratio=args.top_ratio,
         ),
         link=LinkOptions(num_classes=args.num_classes),
         perturb=perturb_opts,

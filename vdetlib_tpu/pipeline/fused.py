@@ -259,14 +259,21 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
 
         if cfg.tubelet_boxes:
             # ---- tubelet boxes as detections (staged: rescore.py) ----
-            # live unmatched track boxes (the detector's gap frames) append
-            # as det slots scored by the tubelet statistic; the union is
+            # live unmatched track boxes in INTERIOR gaps (matched frames on
+            # both sides — see RescoreOptions.tubelet_boxes) append as det
+            # slots scored by the tubelet statistic; the union is
             # rank-compacted back to the output budget in the same file
             # order the staged link stage's proto repack uses (dets first,
             # then tracks by index).
+            has_before = jnp.cumsum(matched_any, axis=1) > 0
+            has_after = jnp.flip(
+                jnp.cumsum(jnp.flip(matched_any, axis=1), axis=1), axis=1
+            ) > 0
             inj_valid = (
                 ta
                 & ~matched_any
+                & has_before
+                & has_after
                 & (jnp.max(stats[:, 1:], axis=1) > 0)[:, None]
             )  # (K, T)
             inj_scores = stats[:, None, :] * inj_valid[..., None]  # (K,T,C)

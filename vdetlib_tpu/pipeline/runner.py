@@ -76,6 +76,24 @@ def dump_config(workdir: str, cfg: PipelineConfig) -> str:
     return path
 
 
+def load_frames_device(vid_proto: dict, image_hw) -> "object":
+    """Decode a video's frames and upload them to the device (one transfer).
+
+    Shared by run_video's lazy path and run_videos' cross-video prefetch —
+    calling this from a worker thread overlaps the NEXT video's decode +
+    host→device transfer (the staged sweep's dominant fixed cost on slow
+    links) with the CURRENT video's stage compute.
+    """
+    import jax.numpy as jnp
+
+    loader = FrameLoader(vid_proto, target_hw=image_hw)
+    frames_dev = jnp.asarray(
+        np.stack([img for _, img, _ in loader.iter_frames()])
+    )
+    loader.close()
+    return frames_dev
+
+
 def run_video(
     workdir: str,
     vid_proto: dict,
@@ -83,10 +101,13 @@ def run_video(
     models: Models,
     cfg: PipelineConfig,
     det_proto: Optional[dict] = None,
+    frames_dev=None,
 ) -> dict:
     """Run the staged pipeline for one video; returns output paths per stage.
 
-    ``det_proto`` may be supplied to skip the detect stage (precomputed dets).
+    ``det_proto`` may be supplied to skip the detect stage (precomputed dets);
+    ``frames_dev`` may carry pre-decoded device-resident frames (the
+    cross-video prefetch — see run_videos).
     """
     video = vid_proto["video"]
     vdir = os.path.join(workdir, video)
@@ -98,18 +119,10 @@ def run_video(
     # frames shared by mgp + track: decode once AND upload to device once —
     # host↔device transfers are ~30MB/s on this terminal, so re-uploading
     # per stage costs more than the stages themselves
-    frames_dev = None
-
     def frames():
         nonlocal frames_dev
         if frames_dev is None:
-            import jax.numpy as jnp
-
-            loader = FrameLoader(vid_proto, target_hw=cfg.detect.image_hw)
-            frames_dev = jnp.asarray(
-                np.stack([img for _, img, _ in loader.iter_frames()])
-            )
-            loader.close()
+            frames_dev = load_frames_device(vid_proto, cfg.detect.image_hw)
         return frames_dev
 
     result_path = None  # last det-proto stage output actually produced
@@ -197,15 +210,51 @@ def run_videos(
     models: Models,
     cfg: PipelineConfig,
 ) -> list[dict]:
-    """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts."""
+    """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts.
+
+    Cross-video pipelining: video v+1's frames are decoded and uploaded on a
+    worker thread while video v's stages run on the device — the same
+    decode/compute overlap the fused engine uses (fused_runner.py), applied
+    to the per-stage path. Stage semantics and resume-by-existence are
+    untouched (the prefetch only pre-computes run_video's lazy frames()).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     metrics = StageMetrics("pipeline")
     dump_config(workdir, cfg)
     out = []
     n_frames = 0
-    for vid_proto, box_proto in video_inputs:
-        log.info("pipeline: video %s (%d frames)", vid_proto["video"], len(vid_proto["frames"]))
-        out.append(run_video(workdir, vid_proto, box_proto, models, cfg))
-        n_frames += len(vid_proto["frames"])
+    needs_frames = any(
+        s in cfg.stages for s in ("mgp", "track", "perturb")
+    ) and os.environ.get("VDETLIB_TPU_STAGED_PREFETCH", "1") != "0"
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        if needs_frames and video_inputs:
+            fut = ex.submit(
+                load_frames_device, video_inputs[0][0], cfg.detect.image_hw
+            )
+        for i, (vid_proto, box_proto) in enumerate(video_inputs):
+            log.info(
+                "pipeline: video %s (%d frames)",
+                vid_proto["video"], len(vid_proto["frames"]),
+            )
+            frames_dev = fut.result() if fut is not None else None
+            fut = (
+                ex.submit(
+                    load_frames_device,
+                    video_inputs[i + 1][0],
+                    cfg.detect.image_hw,
+                )
+                if needs_frames and i + 1 < len(video_inputs)
+                else None
+            )
+            out.append(
+                run_video(
+                    workdir, vid_proto, box_proto, models, cfg,
+                    frames_dev=frames_dev,
+                )
+            )
+            n_frames += len(vid_proto["frames"])
     metrics.set("frames", n_frames)
     metrics.set("videos", len(video_inputs))
     metrics.finish()

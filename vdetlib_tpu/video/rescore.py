@@ -44,11 +44,13 @@ class RescoreOptions:
     num_classes: int = 31
     max_tracks: int = 64
     # T-CNN tubelet-box semantics (SURVEY.md §2.2 perturbation row, §3.2):
-    # track boxes become detections. Injection is gap-filling: a live track
-    # box with NO IoU-matched detection at its frame (occlusion windows,
-    # detector dropouts) enters the det set scored by the tubelet's
-    # per-class statistic — track GEOMETRY reaches the final output instead
-    # of only feeding the rescoring statistic.
+    # track boxes become detections. Injection is INTERIOR gap-filling: a
+    # live track box with NO IoU-matched detection at its frame enters the
+    # det set scored by the tubelet's per-class statistic, but only when
+    # matched frames exist on BOTH sides (a real occlusion window/dropout).
+    # Extrapolation past the last matched frame is excluded — that is where
+    # drifting/distractor tracks produce phantom boxes (measured: without
+    # the interior gate, injection LOWERED hard-tier mAP 0.631 → 0.529).
     tubelet_boxes: bool = False
 
 
@@ -173,9 +175,16 @@ def tubelet_rescore(
         K = trk_boxes.shape[0]
         C = new_scores.shape[-1]
         T = len(fids)
+        # interior gaps only: matched frames must exist on both sides
+        has_before = np.cumsum(matched_any, axis=1) > 0
+        has_after = np.flip(
+            np.cumsum(np.flip(matched_any, axis=1), axis=1), axis=1
+        ) > 0
         inj_valid = (
             trk_mask
             & ~matched_any
+            & has_before
+            & has_after
             & (stats[:, 1:].max(axis=1) > 0)[:, None]
         )  # (K, T)
         inj_scores = (
