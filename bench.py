@@ -117,6 +117,37 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fps = V * T / dt
+
+    # strict-parity reference (V=1, the single-video executable that the
+    # fused engine's default group_size=1 runs) — reported on stderr so the
+    # driver's one-JSON-line stdout contract holds. The V>1 headline is the
+    # same program vmapped over videos; its bf16 reassociation divergence is
+    # quantified in bench_grouped_parity.py / RESULTS.md.
+    import sys
+
+    @jax.jit
+    def run1(det_p, trk_p, frames, rois):
+        out = pipeline(det_p, trk_p, frames, rois)
+        return (
+            jnp.sum(out.final_scores)
+            + jnp.sum(out.det_scores)
+            + jnp.sum(out.tubelet_stats)
+            + jnp.sum(out.track_conf)
+        )
+
+    float(run1(det_params, trk_params, frames_j[0], rois_j[0]))
+    t1 = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(run1(det_params, trk_params, frames_j[0], rois_j[0]))
+        t1.append(time.perf_counter() - t0)
+    fps1 = T / min(t1)
+    print(
+        f"strict-parity V=1: {fps1:.2f} frames/sec/chip "
+        f"(headline V={V} grouped: {fps:.2f})",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

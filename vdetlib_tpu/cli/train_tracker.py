@@ -15,6 +15,12 @@ def main(argv=None) -> int:
     p.add_argument("--num_videos", type=int, default=8)
     p.add_argument("--frames_per_video", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tier", default="easy", choices=["easy", "hard"],
+                   help="hard: train on the hard-tier distribution "
+                   "(occlusion/distractors/camera motion)")
+    p.add_argument("--scale_rate", type=float, default=0.0,
+                   help="per-frame object zoom in the training videos "
+                   "(match gen_synth --scale_rate for zooming-object evals)")
     args = p.parse_args(argv)
 
     from vdetlib_tpu.data.synth import SynthConfig, make_video
@@ -26,14 +32,19 @@ def main(argv=None) -> int:
     h, w = args.image_hw
     cfg = TrackerConfig()
     model, params = init_tracker(cfg, image_hw=(h, w), seed=args.seed)
-    videos = [
-        make_video(
-            SynthConfig(
-                num_frames=args.frames_per_video, height=h, width=w,
-                seed=args.seed + i,
-            )
+    def synth_cfg(seed):
+        common = dict(
+            num_frames=args.frames_per_video, height=h, width=w,
+            seed=seed, scale_rate=args.scale_rate,
         )
-        for i in range(args.num_videos)
+        if args.tier == "hard":
+            from vdetlib_tpu.data.synth import hard_config
+
+            return hard_config(**common)
+        return SynthConfig(**common)
+
+    videos = [
+        make_video(synth_cfg(args.seed + i)) for i in range(args.num_videos)
     ]
     params = train_tracker(
         model, cfg, params, videos,
