@@ -166,3 +166,21 @@ def test_run_videos_batch(tmp_path, models, cfg):
     assert len(results) == 2
     for r in results:
         assert os.path.exists(r["result"])
+
+
+def test_run_videos_workers_parity(tmp_path, models, cfg):
+    """workers=2 (cross-video thread pipelining) yields byte-identical protos.
+
+    The multi-worker staged sweep only overlaps host work with device work;
+    each video's stage chain is untouched, so every proto must match the
+    serial run exactly (same contract as fused/staged parity).
+    """
+    data = _dataset(tmp_path, n=3)
+    m, _ = models
+    inputs = [(vid, box_proto(sv)) for sv, vid in data]
+    serial = run_videos(str(tmp_path / "w1"), inputs, m, cfg)
+    threaded = run_videos(str(tmp_path / "w2"), inputs, m, cfg, workers=2)
+    assert len(serial) == len(threaded) == 3
+    for rs, rt in zip(serial, threaded):
+        for stage in ("detect", "mgp", "track", "rescored", "final"):
+            assert proto_load(rs[stage]) == proto_load(rt[stage]), stage

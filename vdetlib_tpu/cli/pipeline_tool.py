@@ -72,6 +72,11 @@ def main(argv=None) -> int:
                         "4 on the bench workload) but the batched program's "
                         "bf16 reassociation can flip near-tied NMS decisions "
                         "vs the single-video executable")
+    p.add_argument("--staged_workers", type=int, default=1,
+                   help="staged engine: videos in flight at once (>1 overlaps "
+                        "one video's host JSON/glue work with another's "
+                        "device compute; outputs and resume semantics "
+                        "unchanged)")
     p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
     p.add_argument(
         "--calibrate", default="none", choices=["none", "rank"],
@@ -162,7 +167,9 @@ def main(argv=None) -> int:
             args.workdir, inputs, models, cfg, group_size=args.fused_group
         )
     else:
-        results = run_videos(args.workdir, inputs, models, cfg)
+        results = run_videos(
+            args.workdir, inputs, models, cfg, workers=args.staged_workers
+        )
 
     if args.eval:
         from vdetlib_tpu.evaluation.vid_map import vid_map

@@ -209,21 +209,47 @@ def run_videos(
     video_inputs: list[tuple[dict, Optional[dict]]],
     models: Models,
     cfg: PipelineConfig,
+    workers: int = 1,
 ) -> list[dict]:
     """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts.
 
-    Cross-video pipelining: video v+1's frames are decoded and uploaded on a
-    worker thread while video v's stages run on the device — the same
-    decode/compute overlap the fused engine uses (fused_runner.py), applied
-    to the per-stage path. Stage semantics and resume-by-existence are
-    untouched (the prefetch only pre-computes run_video's lazy frames()).
+    Cross-video pipelining, two levels (SURVEY.md §3.4; VERDICT r2 item 7):
+
+    - ``workers=1`` (default): video v+1's frames are decoded and uploaded on
+      a worker thread while video v's stages run on the device — the same
+      decode/compute overlap the fused engine uses (fused_runner.py), applied
+      to the per-stage path. Disable with VDETLIB_TPU_STAGED_PREFETCH=0.
+    - ``workers>1``: N full run_video calls in flight on a thread pool. The
+      device serializes programs, so compute never overlaps with itself;
+      what overlaps is one video's HOST work (JSON proto gzip/IO, numpy
+      glue, host seq-NMS post) with another's device work. Videos are
+      independent and every proto write is atomic, so stage semantics and
+      resume-by-existence are untouched; outputs return in input order.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     metrics = StageMetrics("pipeline")
     dump_config(workdir, cfg)
+    n_frames = sum(len(v["frames"]) for v, _ in video_inputs)
+
+    if workers > 1:
+        def one(pair):
+            vid_proto, box_proto = pair
+            log.info(
+                "pipeline: video %s (%d frames)",
+                vid_proto["video"], len(vid_proto["frames"]),
+            )
+            return run_video(workdir, vid_proto, box_proto, models, cfg)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            out = list(ex.map(one, video_inputs))
+        metrics.set("frames", n_frames)
+        metrics.set("videos", len(video_inputs))
+        metrics.set("workers", workers)
+        metrics.finish()
+        return out
+
     out = []
-    n_frames = 0
     needs_frames = any(
         s in cfg.stages for s in ("mgp", "track", "perturb")
     ) and os.environ.get("VDETLIB_TPU_STAGED_PREFETCH", "1") != "0"
@@ -254,7 +280,6 @@ def run_videos(
                     frames_dev=frames_dev,
                 )
             )
-            n_frames += len(vid_proto["frames"])
     metrics.set("frames", n_frames)
     metrics.set("videos", len(video_inputs))
     metrics.finish()
