@@ -171,12 +171,21 @@ def prep_fn(dtype):
 
 
 if __name__ == "__main__":
-    timeit("detect full B=32 (prod)", det_fn_at(32))
-    timeit("detect full B=64", det_fn_at(64))
-    timeit("backbone only B=32", backbone_fn)
-    timeit("roi_align+head B=32", roihead_fn)
-    timeit("stem direct 7x7/s2", stem_fn(stem_direct))
-    timeit("stem s2d 4x4/s1", stem_fn(stem_s2d))
-    timeit("GroupNorm stack (15 layers)", gn_stack_fn)
-    timeit("preprocess f32 materialize", prep_fn(jnp.float32))
-    timeit("preprocess bf16 materialize", prep_fn(jnp.bfloat16))
+    import sys
+
+    probes = [
+        ("detect full B=32 (prod)", det_fn_at(32)),
+        ("detect full B=64", det_fn_at(64)),
+        ("backbone only B=32", backbone_fn),
+        ("roi_align+head B=32", roihead_fn),
+        ("stem direct 7x7/s2", stem_fn(stem_direct)),
+        ("stem s2d 4x4/s1", stem_fn(stem_s2d)),
+        ("GroupNorm stack (15 layers)", gn_stack_fn),
+        ("preprocess f32 materialize", prep_fn(jnp.float32)),
+        ("preprocess bf16 materialize", prep_fn(jnp.bfloat16)),
+    ]
+    sel = sys.argv[1:]  # substring filters; no args = all probes
+    for name, fn in probes:
+        if sel and not any(s in name for s in sel):
+            continue
+        timeit(name, fn)

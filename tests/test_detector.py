@@ -38,6 +38,26 @@ def test_roi_align_constant_map():
     np.testing.assert_allclose(np.asarray(pooled), 2.5, rtol=1e-5)
 
 
+def test_roi_align_fused_matches_separable():
+    """The two matmul layouts are the same bilinear sampling (float-order only)."""
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(size=(15, 20, 64)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(0, 200, 8),
+                rng.uniform(0, 150, 8),
+                rng.uniform(200, 319, 8),
+                rng.uniform(150, 239, 8),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    a = roi_align(feat, boxes, stride=16, pool=7, fused=True)
+    b = roi_align(feat, boxes, stride=16, pool=7, fused=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
 def test_roi_align_gradient_map():
     """On feat[y, x] = x, pooled columns must increase and match bin centers."""
     H, W = 8, 12

@@ -215,10 +215,12 @@ def run_videos(
 
     Cross-video pipelining, two levels (SURVEY.md §3.4; VERDICT r2 item 7):
 
-    - ``workers=1`` (default): video v+1's frames are decoded and uploaded on
-      a worker thread while video v's stages run on the device — the same
-      decode/compute overlap the fused engine uses (fused_runner.py), applied
-      to the per-stage path. Disable with VDETLIB_TPU_STAGED_PREFETCH=0.
+    - ``workers=1`` (default): optionally decode + upload video v+1's frames
+      on a worker thread while video v's stages run on the device
+      (VDETLIB_TPU_STAGED_PREFETCH=1). Default OFF: on a tunneled/relayed
+      device link every transfer RPC serializes with dispatch RPCs, and the
+      prefetch measured ~2x SLOWER end-to-end (RESULTS.md round 3,
+      "staged-engine pipelining"); turn it on for directly-attached hosts.
     - ``workers>1``: N full run_video calls in flight on a thread pool. The
       device serializes programs, so compute never overlaps with itself;
       what overlaps is one video's HOST work (JSON proto gzip/IO, numpy
@@ -252,7 +254,7 @@ def run_videos(
     out = []
     needs_frames = any(
         s in cfg.stages for s in ("mgp", "track", "perturb")
-    ) and os.environ.get("VDETLIB_TPU_STAGED_PREFETCH", "1") != "0"
+    ) and os.environ.get("VDETLIB_TPU_STAGED_PREFETCH", "0") == "1"
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = None
         if needs_frames and video_inputs:
