@@ -19,6 +19,7 @@ def rescore(
     bg_decay=1.0,
     top_ratio=0.5,
     boost="max",
+    min_matched_frac=0.0,
 ):
     T, N, C = det_scores.shape
     K = trk_boxes.shape[0]
@@ -44,6 +45,14 @@ def rescore(
                 per_frame[t] = max(vals) if vals else 0.0
             top = np.sort(per_frame)[::-1][:kk]
             stats[k, c] = top.mean()
+
+    # track-quality gate: tracks matched on too few of their live frames
+    # contribute no statistic (neither boost nor downstream injection)
+    for k in range(K):
+        live = int(trk_mask[k].sum())
+        matched = int(match[:, k, :].any(axis=1).sum())
+        if matched / max(live, 1) < min_matched_frac:
+            stats[k, :] = 0.0
 
     new_scores = det_scores.copy()
     for t in range(T):

@@ -30,19 +30,99 @@ def _problem(rng, T=6, N=8, K=3, C=4):
     return det_boxes, det_scores, det_mask, trk_boxes, trk_mask
 
 
-@pytest.mark.parametrize("seed,boost", [(0, "max"), (1, "max"), (2, "mean")])
-def test_matches_oracle(seed, boost):
+@pytest.mark.parametrize(
+    "seed,boost,gate", [(0, "max", 0.0), (1, "max", 0.5), (2, "mean", 0.3)]
+)
+def test_matches_oracle(seed, boost, gate):
     rng = np.random.default_rng(seed)
     db, ds, dm, tb, tm = _problem(rng)
     want_scores, want_stats = oracle_rescore(
-        db, ds, dm, tb, tm, match_thresh=0.5, bg_decay=0.7, boost=boost
+        db, ds, dm, tb, tm, match_thresh=0.5, bg_decay=0.7, boost=boost,
+        min_matched_frac=gate,
     )
     got_scores, got_stats, _ = rescore_arrays(
         jnp.asarray(db), jnp.asarray(ds), jnp.asarray(dm),
         jnp.asarray(tb), jnp.asarray(tm), 0.5, 0.7, boost=boost,
+        min_matched_frac=gate,
     )
     np.testing.assert_allclose(np.asarray(got_scores), want_scores, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_stats), want_stats, rtol=1e-4, atol=1e-5)
+
+
+def test_min_matched_frac_gates_flicker_tracks():
+    """A track IoU-matched on too few of its live frames contributes no
+    statistic: no boost for its dets (they keep RAW scores — bg_decay must
+    not hit them either, they are still on-track) while a well-matched
+    track is unaffected."""
+    T, N, C, K = 6, 2, 3, 2
+    A = np.array([10.0, 10.0, 30.0, 30.0], np.float32)
+    B = np.array([100.0, 100.0, 130.0, 130.0], np.float32)
+    det_boxes = np.zeros((T, N, 4), np.float32)
+    det_boxes[:, 0] = A
+    det_boxes[:, 1] = B
+    det_scores = np.zeros((T, N, C), np.float32)
+    det_scores[:, 0, 1] = 0.9  # good-track det, every frame
+    det_mask = np.zeros((T, N), bool)
+    det_mask[:, 0] = True
+    # flicker-track dets exist on only 2 of 6 frames (matched_frac = 1/3)
+    det_mask[2, 1] = det_mask[3, 1] = True
+    det_scores[2, 1, 2] = 0.9
+    det_scores[3, 1, 2] = 0.2
+    trk_boxes = np.zeros((K, T, 4), np.float32)
+    trk_boxes[0, :] = A
+    trk_boxes[1, :] = B
+    trk_mask = np.ones((K, T), bool)
+
+    def run(gate):
+        s, st, _ = rescore_arrays(
+            jnp.asarray(det_boxes), jnp.asarray(det_scores),
+            jnp.asarray(det_mask), jnp.asarray(trk_boxes),
+            jnp.asarray(trk_mask), 0.5, 0.5, top_ratio=0.5, boost="max",
+            min_matched_frac=gate,
+        )
+        return np.asarray(s), np.asarray(st)
+
+    open_scores, open_stats = run(0.0)
+    gated_scores, gated_stats = run(0.5)
+    # gate off: flicker track's stat (top-3 mean of .9/.2/0) boosts its
+    # weak det
+    assert open_stats[1, 2] == pytest.approx((0.9 + 0.2) / 3)
+    assert open_scores[3, 1, 2] == pytest.approx(open_stats[1, 2])
+    # gate on (1/3 < 0.5): stat zeroed, det keeps RAW 0.2 — neither boosted
+    # nor bg-decayed (bg_decay=0.5 would give 0.1)
+    assert gated_stats[1].max() == 0.0
+    assert gated_scores[3, 1, 2] == pytest.approx(0.2)
+    # the fully-matched track is untouched by the gate
+    np.testing.assert_allclose(gated_stats[0], open_stats[0])
+    np.testing.assert_allclose(gated_scores[:, 0], open_scores[:, 0])
+
+
+def test_min_matched_frac_suppresses_injection():
+    """tubelet_boxes injection from a distrusted track is suppressed: its
+    interior-gap boxes do not enter the det set."""
+    sv = make_video(SynthConfig(num_frames=10, seed=9, num_objects=1))
+    vid = vid_proto_in_memory(sv)
+    det = det_proto_from_gt(sv, dets_per_object=2, distractors_per_frame=0)
+    # dets only on the first and last frames → matched_frac = 0.2
+    keep_frames = {sv.frame_ids[0], sv.frame_ids[-1]}
+    det["detections"] = [
+        d for d in det["detections"] if d["frame"] in keep_frames
+    ]
+    K, T = sv.gt_boxes.shape[:2]
+    trk = arrays_to_track_proto(
+        sv.gt_boxes, np.ones((K, T), np.float32), np.ones((K, T), bool),
+        sv.frame_ids, sv.video, "gt",
+    )
+    C = sv.config.num_classes
+    open_opts = RescoreOptions(num_classes=C, max_boxes=32, tubelet_boxes=True)
+    _, open_det = tubelet_rescore(vid, det, trk, open_opts)
+    gated_opts = RescoreOptions(
+        num_classes=C, max_boxes=32, tubelet_boxes=True, min_matched_frac=0.5
+    )
+    _, gated_det = tubelet_rescore(vid, det, trk, gated_opts)
+    interior = set(sv.frame_ids) - keep_frames
+    assert any(d["frame"] in interior for d in open_det["detections"])
+    assert not any(d["frame"] in interior for d in gated_det["detections"])
 
 
 def test_boost_monotone():

@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                    help="rescore boost statistic application")
     p.add_argument("--bg_decay", type=float, default=1.0,
                    help="score multiplier for dets on no tubelet")
+    p.add_argument("--min_matched_frac", type=float, default=0.0,
+                   help="track-quality gate: a track boosts/injects only if "
+                        "dets match it on >= this fraction of its live "
+                        "frames (flickering-distractor filter; 0 = off)")
     p.add_argument("--top_ratio", type=float, default=0.5,
                    help="tubelet statistic = mean of top this-fraction scores")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1], metavar=("I", "N"))
@@ -147,6 +151,7 @@ def main(argv=None) -> int:
             num_classes=args.num_classes, tubelet_boxes=args.tubelet_boxes,
             boost=args.boost, bg_decay=args.bg_decay,
             top_ratio=args.top_ratio,
+            min_matched_frac=args.min_matched_frac,
         ),
         link=LinkOptions(num_classes=args.num_classes),
         perturb=perturb_opts,

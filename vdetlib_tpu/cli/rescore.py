@@ -18,6 +18,9 @@ def main(argv=None) -> int:
     p.add_argument("--top_ratio", type=float, default=0.5)
     p.add_argument("--boost", choices=["max", "mean"], default="max")
     p.add_argument("--bg_decay", type=float, default=1.0)
+    p.add_argument("--min_matched_frac", type=float, default=0.0,
+                   help="track-quality gate: a track boosts only if dets "
+                        "match >= this fraction of its live frames")
     p.add_argument("--max_boxes", type=int, default=64)
     p.add_argument("--num_classes", type=int, default=31)
     p.add_argument("--max_tracks", type=int, default=64)
@@ -38,6 +41,7 @@ def main(argv=None) -> int:
         top_ratio=args.top_ratio,
         boost=args.boost,
         bg_decay=args.bg_decay,
+        min_matched_frac=args.min_matched_frac,
         max_boxes=args.max_boxes,
         num_classes=args.num_classes,
         max_tracks=args.max_tracks,

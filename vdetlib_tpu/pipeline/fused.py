@@ -76,6 +76,7 @@ class FusedConfig:
     top_ratio: float = 0.5
     boost: str = "max"
     bg_decay: float = 1.0
+    min_matched_frac: float = 0.0  # RescoreOptions.min_matched_frac
     # seq-NMS link
     link_thresh: float = 0.5
     suppress_thresh: float = 0.3
@@ -255,6 +256,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             cfg.bg_decay,
             top_ratio=cfg.top_ratio,
             boost=cfg.boost,
+            min_matched_frac=cfg.min_matched_frac,
         )
 
         if cfg.tubelet_boxes:

@@ -76,6 +76,7 @@ def fused_config_from_pipeline(cfg) -> FusedConfig:
         top_ratio=cfg.rescore.top_ratio,
         boost=cfg.rescore.boost,
         bg_decay=cfg.rescore.bg_decay,
+        min_matched_frac=cfg.rescore.min_matched_frac,
         link_thresh=cfg.link.link_thresh,
         suppress_thresh=cfg.link.suppress_thresh,
         max_paths=cfg.link.max_paths,

@@ -40,6 +40,15 @@ class RescoreOptions:
     top_ratio: float = 0.5  # statistic = mean of the top this-fraction scores
     boost: str = "max"  # det new score: max(score, stat) | "mean"
     bg_decay: float = 1.0  # multiplier for dets on no tubelet (1.0 = keep)
+    # track-quality gate: a track must have IoU-matched detections on at
+    # least this fraction of its live frames for its tubelet statistic to
+    # boost/inject anything. Tracks latched onto flickering distractors
+    # match only on flicker-on frames (low fraction); real objects match on
+    # most frames outside occlusion windows. 0.0 = gate off (default).
+    # Matched dets on a distrusted track keep their raw scores (no boost)
+    # but still count as on-track — bg_decay never punishes a real det for
+    # its track's quality.
+    min_matched_frac: float = 0.0
     max_boxes: int = 64
     num_classes: int = 31
     max_tracks: int = 64
@@ -66,6 +75,7 @@ def rescore_arrays(
     top_ratio: float = 0.5,
     boost: str = "max",
     trk_cls_scores=None,  # optional (K, T, C) per-track-box class scores
+    min_matched_frac=0.0,  # track-quality gate (RescoreOptions)
 ):
     """Core rescoring math.
 
@@ -110,6 +120,14 @@ def rescore_arrays(
     stats = jnp.sum(sorted_scores * topk_mask, axis=1) / jnp.maximum(
         jnp.sum(topk_mask, axis=1), 1.0
     )  # (K, C)
+
+    # track-quality gate: zero the statistic of tracks whose boxes rarely
+    # match a detection (flickering-distractor signature) — they neither
+    # boost nor (downstream) inject; their matched dets keep raw scores.
+    matched_count = jnp.sum(jnp.any(match, axis=2), axis=0)  # (K,)
+    matched_frac = matched_count / jnp.maximum(live, 1.0)  # (K,)
+    good = matched_frac >= min_matched_frac  # (K,) — trivially True at 0.0
+    stats = stats * good[:, None]
 
     # map stats back: each det takes the best stat among tracks matching it
     stat_per_det = jnp.max(
@@ -161,6 +179,7 @@ def tubelet_rescore(
         top_ratio=opts.top_ratio,
         boost=opts.boost,
         trk_cls_scores=jnp.asarray(trk_cls) if has_perturb else None,
+        min_matched_frac=opts.min_matched_frac,
     )
     new_scores = np.asarray(new_scores)
     stats = np.asarray(stats)
