@@ -84,7 +84,7 @@ def matched_setup(tmp_path_factory):
     )
 
 
-def _staged_protos(s, tubelet_boxes=False):
+def _staged_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
     det_opts = DetectOptions(
         batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.005, regress=True
     )
@@ -99,7 +99,7 @@ def _staged_protos(s, tubelet_boxes=False):
     res_opts = RescoreOptions(
         match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=1.0,
         max_boxes=BUDGET, num_classes=C, max_tracks=6,
-        tubelet_boxes=tubelet_boxes,
+        tubelet_boxes=tubelet_boxes, min_matched_frac=min_matched_frac,
     )
     link_opts = LinkOptions(
         link_thresh=0.5, suppress_thresh=0.3, max_paths=8, rescore="avg",
@@ -118,7 +118,7 @@ def _staged_protos(s, tubelet_boxes=False):
     return final, tubelets, trk
 
 
-def _fused_protos(s, tubelet_boxes=False):
+def _fused_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
     cfg = FusedConfig(
         image_hw=HW, detect_batch=4, feat_batch=4, score_thresh=0.005,
         mgp_window=1, mgp_decay=0.9, nms_thresh=0.3, det_budget=BUDGET,
@@ -126,7 +126,7 @@ def _fused_protos(s, tubelet_boxes=False):
         track_conf=0.5, cover_thresh=0.5, rescore_match=0.5, top_ratio=0.5,
         boost="max", bg_decay=1.0, link_thresh=0.5, suppress_thresh=0.3,
         max_paths=8, link_rescore="avg", flow_preset="fast",
-        tubelet_boxes=tubelet_boxes,
+        tubelet_boxes=tubelet_boxes, min_matched_frac=min_matched_frac,
     )
     pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
     out = pipe(
@@ -202,6 +202,23 @@ def test_fused_matches_staged_with_tubelet_boxes(matched_setup):
             assert ea["frame"] == eb["frame"]
             assert ea["class_index"] == eb["class_index"]
             np.testing.assert_allclose(ea["bbox"], eb["bbox"], rtol=1e-4, atol=1e-3)
+
+
+def test_fused_matches_staged_with_matched_frac_gate(matched_setup):
+    """Parity holds with the track-quality gate active alongside injection."""
+    kw = dict(tubelet_boxes=True, min_matched_frac=0.4)
+    staged_det, staged_tub, _ = _staged_protos(matched_setup, **kw)
+    fused_det, fused_tub, _ = _fused_protos(matched_setup, **kw)
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    assert len(staged_tub["tracks"]) == len(fused_tub["tracks"])
 
 
 def test_fused_track_count_matches_staged(matched_setup):
