@@ -225,3 +225,30 @@ def test_fused_track_count_matches_staged(matched_setup):
     _, _, staged_trk = _staged_protos(matched_setup)
     _, _, out = _fused_protos(matched_setup)
     assert int(out.n_tracks) == len(staged_trk["tracks"]) > 0
+
+
+def test_fused_matches_staged_multiscale_tracker(matched_setup):
+    """Scale-adaptive tracking (num_scales=3) parity across engines — the
+    end-to-end tracker win (RESULTS.md SC table) was measured on the staged
+    path; the fused flagship must produce the same tubelets."""
+    s = dict(matched_setup)
+    trk_cfg = TrackerConfig(num_scales=3)
+    trk_model, trk_params = init_tracker(trk_cfg, image_hw=HW, seed=0)
+    s.update(trk_cfg=trk_cfg, trk_model=trk_model, trk_params=trk_params)
+    staged_det, staged_tub, _ = _staged_protos(s)
+    fused_det, fused_tub, _ = _fused_protos(s)
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    assert len(staged_tub["tracks"]) == len(fused_tub["tracks"]) > 0
+    for ta, tb in zip(staged_tub["tracks"], fused_tub["tracks"]):
+        assert len(ta) == len(tb)
+        for ea, eb in zip(ta, tb):
+            assert ea["frame"] == eb["frame"]
+            np.testing.assert_allclose(ea["bbox"], eb["bbox"], rtol=1e-4, atol=1e-3)
