@@ -112,6 +112,63 @@ def test_two_concurrent_serve_instances(tmp_path):
     assert not list(work.glob("*.lock"))
 
 
+def test_serve_quality_knobs(tmp_path):
+    """The pipeline tool's measured quality knobs (boost/bg_decay/gate/
+    tubelet_boxes/track_scales — RESULTS.md hard-tier sweep) are exposed on
+    the daemon and change its output scores."""
+    data = tmp_path / "data"
+    work = tmp_path / "work"
+    work2 = tmp_path / "work2"
+    data.mkdir()
+    gen = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from vdetlib_tpu.data.synth import SynthConfig, make_video, write_frames;"
+        "from vdetlib_tpu.protos import proto_dump;"
+        f"root = {str(data)!r};"
+        "exec('''\n"
+        "sv = make_video(SynthConfig(num_frames=4, height=96, width=128,\n"
+        "                            num_classes=4, seed=0), video='q0')\n"
+        "vid = write_frames(sv, root)\n"
+        "proto_dump(vid, f'{root}/q0.vid.json')\n"
+        "boxes = [\n"
+        "    {'frame': int(f['frame']), 'bbox': [float(10+j*8), 10.0, float(50+j*8), 50.0]}\n"
+        "    for f in vid['frames'] for j in range(4)\n"
+        "]\n"
+        "proto_dump({'video': sv.video, 'boxes': boxes}, f'{root}/q0.box.json')\n"
+        "''')"
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO, env=env)
+
+    def serve(workdir, extra):
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from vdetlib_tpu.cli.serve import main;"
+            f"raise SystemExit(main([{str(data)!r}, {str(workdir)!r},"
+            "'--model', 'tiny', '--num_classes', '4', '--image_hw', '96',"
+            f"'128', '--max_rois', '16', '--once'] + {extra!r}))"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=900,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+
+    serve(work, [])
+    serve(work2, ["--bg_decay", "0.5", "--boost", "mean",
+                  "--min_matched_frac", "0.2", "--track_scales", "2",
+                  "--tubelet_boxes"])
+    from vdetlib_tpu.protos import proto_load
+
+    a = proto_load(str(work / "q0" / "final.json"))
+    b = proto_load(str(work2 / "q0" / "final.json"))
+    assert len(a["detections"]) > 0 and len(b["detections"]) > 0
+    sa = sorted(s["score"] for d in a["detections"] for s in d["scores"])
+    sb = sorted(s["score"] for d in b["detections"] for s in d["scores"])
+    assert sa != sb  # the knobs reached the pipeline
+
+
 def test_serve_fused_engine(tmp_path):
     """--engine fused serves each video with one device dispatch, emitting
     the same final.json/tubelets.json layout (and the done-marker the lock

@@ -86,6 +86,20 @@ def main(argv=None) -> int:
     p.add_argument("--lock_ttl_sec", type=float, default=3600.0,
                    help="reclaim locks older than this (crashed owners)")
     p.add_argument("--seed", type=int, default=0)
+    # quality knobs — same semantics as the pipeline tool (RESULTS.md
+    # hard-tier sweep: these are worth several mAP on hard data)
+    p.add_argument("--track_scales", type=int, default=1,
+                   help="tracker scale-search candidates (1 = off)")
+    p.add_argument("--boost", choices=["max", "mean"], default="max",
+                   help="rescore boost statistic application")
+    p.add_argument("--bg_decay", type=float, default=1.0,
+                   help="score multiplier for dets on no tubelet")
+    p.add_argument("--top_ratio", type=float, default=0.5,
+                   help="tubelet statistic = mean of top this-fraction scores")
+    p.add_argument("--min_matched_frac", type=float, default=0.0,
+                   help="track-quality gate (see pipeline tool)")
+    p.add_argument("--tubelet_boxes", action="store_true",
+                   help="inject interior-gap track boxes as detections")
     args = p.parse_args(argv)
 
     from vdetlib_tpu.nn.detector import init_detector
@@ -107,7 +121,7 @@ def main(argv=None) -> int:
     det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
     if args.detector_weights:
         det_params = load_params(args.detector_weights, template=det_params)
-    trk_cfg = TrackerConfig()
+    trk_cfg = TrackerConfig(num_scales=args.track_scales)
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
     if args.tracker_weights:
         trk_params = load_params(args.tracker_weights, template=trk_params)
@@ -117,7 +131,12 @@ def main(argv=None) -> int:
         mgp=MGPOptions(num_classes=args.num_classes, image_hw=hw),
         track=TrackOptions(image_hw=hw),
         tracker_cfg=trk_cfg,
-        rescore=RescoreOptions(num_classes=args.num_classes),
+        rescore=RescoreOptions(
+            num_classes=args.num_classes, boost=args.boost,
+            bg_decay=args.bg_decay, top_ratio=args.top_ratio,
+            min_matched_frac=args.min_matched_frac,
+            tubelet_boxes=args.tubelet_boxes,
+        ),
         link=LinkOptions(num_classes=args.num_classes),
     )
 
