@@ -37,7 +37,8 @@ A = 8  # tracked anchors
 V = 4  # video snippets per dispatch — the production batching of
 # make_sharded_pipeline (vmap over videos per device). Amortizes the fixed
 # per-dispatch cost (~30ms through this terminal's tunnel) over 4 videos'
-# compute: measured 1608 (V=1) → 1723 (V=2) → 1835 fps (V=4); marginal
+# compute: r2 measured 1608 (V=1) → 1723 (V=2) → 1835 fps (V=4); r3 with the
+# quarter-res flow default: 1813 (V=1) → 2167 fps (V=4); marginal
 # compute is ~130ms/video at every V, so this is amortization, not batching
 # magic.
 TARGET_FPS = 1000.0

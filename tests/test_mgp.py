@@ -47,6 +47,44 @@ def test_flow_shift_matches_gt_motion(sv, flow):
     assert np.median(errs) < 0.8
 
 
+def test_fastest_preset_box_shift(sv):
+    """Quarter-res "fastest" preset: mean flow inside GT boxes still tracks
+    the true motion (looser tolerance than full/half res — the field is 4×
+    coarser but MGP only consumes the box MEAN)."""
+    fq = flow_video(jnp.asarray(sv.frames), preset="fastest", upsample=False)
+    fq = np.asarray(fq)
+    assert fq.shape[1:3] == (sv.frames.shape[1] // 4, sv.frames.shape[2] // 4)
+    K, T = sv.gt_boxes.shape[:2]
+    errs = []
+    for t in range(T - 1):
+        shifts = np.asarray(
+            mean_flow_in_boxes(
+                jnp.asarray(fq[t]),
+                jnp.asarray(sv.gt_boxes[:, t] * 0.25),
+                jnp.ones(K, bool),
+            )
+        )
+        for k in range(K):
+            errs.append(np.abs(shifts[k] - gt_shift(sv.gt_boxes, k, t)))
+    errs = np.asarray(errs)
+    assert errs.mean() < 1.5, errs.mean()
+
+
+def test_mgp_runs_with_fastest_preset(sv):
+    """The MGP stage end-to-end on the quarter-res preset (coord plumbing)."""
+    vid = vid_proto_in_memory(sv)
+    det = det_proto_from_gt(sv, dets_per_object=1, distractors_per_frame=0)
+    out = mgp(
+        vid, det,
+        opts=MGPOptions(
+            num_classes=sv.config.num_classes, flow_preset="fastest",
+            run_nms=False,
+        ),
+        frames_u8=sv.frames,
+    )
+    assert len(out["detections"]) > len(det["detections"])
+
+
 def test_flow_static_background(sv, flow):
     """Flow in empty background regions is ≈ 0."""
     # bottom-right corner patch unlikely to contain an object every frame;

@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--max_rois", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--mgp_window", type=int, default=1)
+    p.add_argument("--flow_preset", default="fastest",
+                   choices=["accurate", "fast", "fastest"],
+                   help="MGP optical-flow resolution/speed tradeoff")
     p.add_argument("--max_tracks", type=int, default=16)
     p.add_argument(
         "--track_scales", type=int, default=1,
@@ -140,7 +143,8 @@ def main(argv=None) -> int:
             score_thresh=0.05,
         ),
         mgp=MGPOptions(
-            window=args.mgp_window, num_classes=args.num_classes, image_hw=hw
+            window=args.mgp_window, num_classes=args.num_classes, image_hw=hw,
+            flow_preset=args.flow_preset,
         ),
         track=TrackOptions(
             max_tracks=args.max_tracks, image_hw=hw,

@@ -37,6 +37,15 @@ def to_gray(frames_u8):
     return f[..., 0] * 0.114 + f[..., 1] * 0.587 + f[..., 2] * 0.299
 
 
+# native pyramid pooling per preset: 1 = full res, 2 = half, 4 = quarter
+FLOW_PRESET_POOL = {"accurate": 1, "fast": 2, "fastest": 4}
+
+
+def flow_coord_scale(preset: str) -> float:
+    """Box-coordinate scale onto the preset's native (no-upsample) flow grid."""
+    return 1.0 / FLOW_PRESET_POOL[preset]
+
+
 def _avg_pool2(x):
     """2x2 mean-pool of (..., H, W)."""
     s = x.shape
@@ -215,16 +224,23 @@ def flow_video(
     returned field is upsampled back to full resolution.
     """
     gray = to_gray(frames_u8)
-    if preset == "fast":
-        # Single half-res level with a wide search window: the cost volume is
-        # nearly free on the VPU (static slices + separable box sums), while
-        # the pyramid's upsample+warp refinement was gather/resize-bound and
-        # dominated the stage. ±5 half-px ≈ ±10 full-px motion coverage.
+    if preset in ("fast", "fastest"):
+        # Single reduced-res level with a wide search window: the cost volume
+        # is nearly free on the VPU (static slices + separable box sums),
+        # while the pyramid's upsample+warp refinement was gather/resize-bound
+        # and dominated the stage. "fast" = half res (±5 half-px ≈ ±10 full-px
+        # motion coverage); "fastest" = quarter res (±20 full-px coverage,
+        # 4× less finest-level work again — box-MEAN shifts stay accurate
+        # because MGP averages the coarser field over ≥16px boxes).
         # On TPU the level runs as a Pallas kernel that keeps each pair's
         # whole S² online soft-argmin in VMEM (kernels/flow_pallas.py) —
         # the XLA form streams (T-1, H, W) temporaries through HBM every
         # shift iteration and is HBM-bound.
-        gray_h = _avg_pool2(gray).astype(jnp.bfloat16)
+        pool = FLOW_PRESET_POOL[preset]
+        gray_h = _avg_pool2(gray)
+        if pool == 4:
+            gray_h = _avg_pool2(gray_h)
+        gray_h = gray_h.astype(jnp.bfloat16)
         from vdetlib_tpu.kernels.flow_pallas import flow_level_pallas
 
         # per LOWERING platform (not process default backend), so CPU-placed
@@ -239,10 +255,12 @@ def flow_video(
                 lambda x, y: _flow_level(x, y, 5, radius, temperature)
             )(a, b),
         )
-        f = f.astype(jnp.float32) * 2.0  # half-res displacements → full-res px
+        # reduced-res displacements → full-res px
+        f = f.astype(jnp.float32) * float(pool)
         if not upsample:
-            # (T-1, H/2, W/2, 2) grid, values in FULL-res pixels — consumers
-            # sample it with half-scale coordinates (boxes * 0.5).
+            # (T-1, H/pool, W/pool, 2) grid, values in FULL-res pixels —
+            # consumers sample it with 1/pool-scale coordinates
+            # (boxes * flow_coord_scale(preset)).
             return f
         full = frames_u8.shape[1:3]
         return jax.image.resize(f, (f.shape[0], *full, 2), method="bilinear")

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from vdetlib_tpu.geometry.boxes import pairwise_iou
-from vdetlib_tpu.kernels.flow import flow_video
+from vdetlib_tpu.kernels.flow import flow_coord_scale, flow_video
 from vdetlib_tpu.kernels.nms import nms_grouped
 from vdetlib_tpu.kernels.seq_nms import seq_nms_batch
 from vdetlib_tpu.video.detect import _detect_step
@@ -85,7 +85,7 @@ class FusedConfig:
     # tubelet boxes as detections (RescoreOptions.tubelet_boxes)
     tubelet_boxes: bool = False
     # flow
-    flow_preset: str = "fast"
+    flow_preset: str = "fastest"
     flow_levels: int = 3
     flow_search: int = 3
 
@@ -178,7 +178,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
 
         # ---- MGP (config 4a; staged: video/mgp.py::propagate_dets) ----
         N0 = cfg.det_budget
-        coord_scale = 0.5 if cfg.flow_preset == "fast" else 1.0
+        coord_scale = flow_coord_scale(cfg.flow_preset)
         flow_kw = dict(
             levels=cfg.flow_levels, search=cfg.flow_search,
             preset=cfg.flow_preset, upsample=(coord_scale == 1.0),

@@ -24,7 +24,11 @@ import numpy as np
 
 from vdetlib_tpu.data.loader import FrameLoader
 from vdetlib_tpu.geometry.boxes import shift_boxes
-from vdetlib_tpu.kernels.flow import flow_video, mean_flow_in_boxes
+from vdetlib_tpu.kernels.flow import (
+    flow_coord_scale,
+    flow_video,
+    mean_flow_in_boxes,
+)
 from vdetlib_tpu.protos.accessors import frame_ids as get_frame_ids
 from vdetlib_tpu.protos.arrays import arrays_to_det_proto, det_proto_to_arrays
 from vdetlib_tpu.utils.log import StageMetrics
@@ -42,9 +46,13 @@ class MGPOptions:
     flow_search: int = 3
     # "fast" (single half-res bf16 level) measured BETTER box-shift accuracy
     # than the 3-level pyramid on synthetic motion (0.38 vs 0.41 px mean) at
-    # 4x the speed — the half-res cost volume smooths noise. "accurate"
-    # (full pyramid) remains for large-motion content.
-    flow_preset: str = "fast"
+    # 4x the speed — the reduced-res cost volume smooths noise. "fastest"
+    # (quarter res) is the production default: another 4x less level work
+    # AND wider motion coverage (±20 vs ±10 full-res px), measured
+    # quality-neutral end-to-end (hard-tier mAP 0.6509 vs 0.6488, box-shift
+    # mean err <1.5px — RESULTS.md round 3). "accurate" (full 3-level
+    # pyramid) remains for content needing sub-pixel flow.
+    flow_preset: str = "fastest"
     image_hw: Optional[tuple] = None
     run_nms: bool = True
 
@@ -82,10 +90,10 @@ def propagate_dets(
     """
     T, N = mask.shape
     w = opts.window
-    # "fast" preset: consume the HALF-RES flow grid directly (values are
-    # full-res px; boxes scale by 0.5 onto the grid) — skips the bilinear
-    # upsample and quarters the integral-image work in mean_flow_in_boxes.
-    coord_scale = 0.5 if opts.flow_preset == "fast" else 1.0
+    # reduced-res presets: consume the native flow grid directly (values are
+    # full-res px; boxes scale by 1/pool onto the grid) — skips the bilinear
+    # upsample and shrinks the integral-image work in mean_flow_in_boxes.
+    coord_scale = flow_coord_scale(opts.flow_preset)
     flow_kw = dict(
         levels=opts.flow_levels, search=opts.flow_search,
         preset=opts.flow_preset, upsample=(coord_scale == 1.0),

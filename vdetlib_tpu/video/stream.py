@@ -42,7 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdetlib_tpu.geometry.boxes import shift_boxes
-from vdetlib_tpu.kernels.flow import flow_video, mean_flow_in_boxes
+from vdetlib_tpu.kernels.flow import (
+    flow_coord_scale,
+    flow_video,
+    mean_flow_in_boxes,
+)
 from vdetlib_tpu.kernels.seq_nms import seq_nms_batch
 from vdetlib_tpu.nn.tracker_net import extract_template
 from vdetlib_tpu.utils.common import iou as np_iou
@@ -69,7 +73,7 @@ class StreamOptions:
     # motion-guided propagation (t±1, one-frame halo across chunks)
     mgp: bool = True
     mgp_decay: float = 0.9
-    flow_preset: str = "fast"
+    flow_preset: str = "fastest"
     # backward re-tracking of fresh seeds over [prev chunk + current chunk]
     backtrack: bool = True
 
@@ -151,7 +155,7 @@ def _mgp_chunk(
     convention as the batch stage (video/mgp.py::propagate_dets, w=1).
     """
     Tc, R = rois.shape[:2]
-    coord_scale = 0.5 if preset == "fast" else 1.0
+    coord_scale = flow_coord_scale(preset)
     flow_kw = dict(preset=preset, upsample=(coord_scale == 1.0))
     fwd = flow_video(frames_ext, **flow_kw)  # (Tc,): ext[i] → ext[i+1]
     bwd = jnp.flip(flow_video(jnp.flip(frames_ext, axis=0), **flow_kw), axis=0)
