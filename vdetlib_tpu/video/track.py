@@ -176,7 +176,9 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
     return boxes, conf, alive
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "conf_thresh"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "conf_thresh", "unroll")
+)
 def track_batch(
     model: TrackerNet,
     cfg: TrackerConfig,
@@ -184,6 +186,7 @@ def track_batch(
     anchor_ts,
     anchor_boxes,
     conf_thresh: float,
+    unroll: int = 1,
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
@@ -274,7 +277,7 @@ def track_batch(
         jnp.zeros((A, 4), jnp.float32), jnp.zeros((A,), bool),
     )
     _, (fb, fc, fa, bb, bc, ba) = jax.lax.scan(
-        step, init, (feats, jnp.arange(T))
+        step, init, (feats, jnp.arange(T)), unroll=unroll
     )
     # scan axis: fwd outputs are at frame t=i; bwd outputs at frame T-1-i.
     fb, fc, fa = (jnp.moveaxis(v, 0, 1) for v in (fb, fc, fa))
