@@ -227,6 +227,88 @@ def test_fused_track_count_matches_staged(matched_setup):
     assert int(out.n_tracks) == len(staged_trk["tracks"]) > 0
 
 
+def test_fused_matches_staged_varying_slot_layout(matched_setup):
+    """Parity when the per-frame slot LAYOUT varies frame to frame.
+
+    Regression test for the fused-MGP class-alignment bug (round 3): every
+    per-slot attribute of a propagated block must be shifted from the
+    SOURCE frame; the original code tiled the class array unshifted, so a
+    propagated copy inherited the DESTINATION slot's class. Invisible when
+    every frame packs the same (roi, class) slots in the same order — which
+    the other parity tests' low score_thresh guarantees — so this test
+    raises the threshold until the kept set (and hence slot layout)
+    genuinely differs across frames, and runs a 2-hop MGP window.
+    """
+    s = matched_setup
+    det_opts = DetectOptions(
+        batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.26, regress=True
+    )
+    mgp_opts = MGPOptions(
+        window=2, score_decay=0.9, nms_thresh=0.3, max_boxes=BUDGET,
+        num_classes=C, flow_preset="fast",
+    )
+    trk_opts = TrackOptions(
+        max_tracks=6, anchors_per_round=3, anchor_thresh=0.3, conf_thresh=0.5,
+        cover_thresh=0.5, batch_size=4, image_hw=HW,
+    )
+    res_opts = RescoreOptions(
+        match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=0.7,
+        max_boxes=BUDGET, num_classes=C, max_tracks=6,
+    )
+    link_opts = LinkOptions(
+        link_thresh=0.5, suppress_thresh=0.3, max_paths=8, rescore="avg",
+        max_boxes=BUDGET, num_classes=C, min_score=0.0, backend="device",
+    )
+    det_proto = det_vid(
+        s["det_model"], s["det_params"], s["vid_proto"], s["box_proto"], det_opts
+    )
+    # the regression precondition: per-frame slot layouts must differ
+    from collections import defaultdict
+    per_frame = defaultdict(list)
+    for d in det_proto["detections"]:
+        for sc in d["scores"]:
+            per_frame[d["frame"]].append(sc["class_index"])
+    layouts = {f: tuple(v) for f, v in sorted(per_frame.items())}
+    assert len(set(layouts.values())) > 1, (
+        "test setup no longer varies the slot layout; lower score_thresh "
+        f"differently (layouts: {layouts})"
+    )
+    cur = mgp(s["vid_proto"], det_proto, opts=mgp_opts, frames_u8=s["frames_u8"])
+    trk = track_from_det(
+        s["trk_model"], s["trk_params"], s["vid_proto"], cur, s["trk_cfg"],
+        trk_opts, frames_u8=s["frames_u8"],
+    )
+    _, cur = tubelet_rescore(s["vid_proto"], cur, trk, res_opts)
+    staged_det, _ = seq_nms_video(s["vid_proto"], cur, link_opts)
+
+    cfg = FusedConfig(
+        image_hw=HW, detect_batch=4, feat_batch=4, score_thresh=0.26,
+        mgp_window=2, mgp_decay=0.9, nms_thresh=0.3, det_budget=BUDGET,
+        out_budget=BUDGET, max_tracks=6, anchors_per_round=3, anchor_thresh=0.3,
+        track_conf=0.5, cover_thresh=0.5, rescore_match=0.5, top_ratio=0.5,
+        boost="max", bg_decay=0.7, link_thresh=0.5, suppress_thresh=0.3,
+        max_paths=8, link_rescore="avg", flow_preset="fast",
+    )
+    pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
+    out = pipe(
+        s["det_params"], s["trk_params"],
+        jnp.asarray(s["frames_u8"]), jnp.asarray(s["rois"]),
+    )
+    fids = [f["frame"] for f in s["vid_proto"]["frames"]]
+    fused_det, _ = fused_to_protos(out, fids, s["vid_proto"]["video"])
+
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    assert len(staged_det["detections"]) > 0
+
+
 def test_fused_matches_staged_multiscale_tracker(matched_setup):
     """Scale-adaptive tracking (num_scales=3) parity across engines — the
     end-to-end tracker win (RESULTS.md SC table) was measured on the staged

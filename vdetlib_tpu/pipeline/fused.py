@@ -187,7 +187,19 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
         bwd = jnp.flip(flow_video(jnp.flip(frames, axis=0), **flow_kw), axis=0)
         hop = jax.vmap(lambda f, b, m: _propagate_hop(f, b, m, coord_scale))
 
+        # Every per-slot attribute of a propagated block (boxes, scores,
+        # masks, AND classes) must come from the SOURCE frame, shifted by h
+        # — slot n at different frames is unrelated (per-frame file-order
+        # packing), so reading any attribute at the destination frame
+        # scrambles it. This was a real bug for classes: propagated copies
+        # inherited the destination slot's class (often a different class or
+        # the zero-init of an empty slot), escaped per-class NMS dedup under
+        # the wrong group id, and polluted rescoring/seq-NMS with phantom
+        # cross-class detections — invisible on synthetic videos whose slot
+        # layout repeats every frame, caught on the hard tier (staged
+        # 0.6509 vs fused 0.6139 mAP before the fix).
         blk_boxes, blk_scores, blk_mask = [dboxes], [dscores], [dmask]
+        blk_cls = [dcls]
         cur_b, cur_m = dboxes, dmask
         for h in range(1, w + 1):  # forward hops: det at t lands at t+h
             nb = hop(fwd, cur_b[:-1], cur_m[:-1])
@@ -197,6 +209,11 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             blk_boxes.append(cur_b)
             blk_scores.append(src * (cfg.mgp_decay**h))
             blk_mask.append(cur_m & frame_ok[:, None])
+            blk_cls.append(
+                jnp.concatenate(
+                    [jnp.zeros((h, N0), dcls.dtype), dcls[:-h]], axis=0
+                )
+            )
         cur_b, cur_m = dboxes, dmask
         for h in range(1, w + 1):  # backward hops: det at t lands at t-h
             nb = hop(bwd, cur_b[1:], cur_m[1:])
@@ -206,12 +223,17 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             blk_boxes.append(cur_b)
             blk_scores.append(src * (cfg.mgp_decay**h))
             blk_mask.append(cur_m & frame_ok[:, None])
+            blk_cls.append(
+                jnp.concatenate(
+                    [dcls[h:], jnp.zeros((h, N0), dcls.dtype)], axis=0
+                )
+            )
 
         M1 = N0 * (2 * w + 1)
         g_boxes = jnp.concatenate(blk_boxes, axis=1)  # (T, M1, 4)
         g_scores = jnp.concatenate(blk_scores, axis=1)
         g_mask = jnp.concatenate(blk_mask, axis=1)
-        g_cls = jnp.tile(dcls, (1, 2 * w + 1))
+        g_cls = jnp.concatenate(blk_cls, axis=1)
 
         # ---- per-frame per-class NMS dedup (staged: video/frame_nms.py) ----
         # one-class-per-slot ⇒ all classes dedup in ONE grouped fixpoint
