@@ -309,6 +309,100 @@ def test_fused_matches_staged_varying_slot_layout(matched_setup):
     assert len(staged_det["detections"]) > 0
 
 
+def test_fused_matches_staged_varying_roi_counts(matched_setup):
+    """Parity when the number of VALID proposals varies frame to frame.
+
+    Companion to the varying-slot-layout regression test: the module fixture
+    always supplies a full (T, R) proposal set, so `roi_mask` is trivially
+    all-True in every other parity test. Real box protos have per-frame
+    proposal counts (FusedEngine.load builds a genuine mask via
+    box_proto_to_arrays). Here the staged path gets a box_proto listing only
+    a per-frame-varying prefix of the rois, while the fused path gets the
+    padded (T, R, 4) array with DECOY boxes (a plausible centered window, not
+    zeros) in the masked slots — per the padding convention, masks are
+    authoritative and padded-slot values must never leak into any output.
+    """
+    s = matched_setup
+    rng = np.random.default_rng(11)
+    counts = rng.integers(R // 3, R + 1, size=T)
+    counts[0] = R  # at least one full frame keeps the layouts diverse
+    assert len(set(int(c) for c in counts)) > 1
+    box_proto = {
+        "video": s["vid_proto"]["video"],
+        "boxes": [
+            {"frame": int(f["frame"]), "bbox": [float(v) for v in s["rois"][t, r]]}
+            for t, f in enumerate(s["vid_proto"]["frames"])
+            for r in range(int(counts[t]))
+        ],
+    }
+    rois = np.array(s["rois"], np.float32, copy=True)
+    decoy = np.array(
+        [HW[1] * 0.25, HW[0] * 0.25, HW[1] * 0.75, HW[0] * 0.75], np.float32
+    )
+    roi_mask = np.zeros((T, R), bool)
+    for t in range(T):
+        roi_mask[t, : int(counts[t])] = True
+        rois[t, int(counts[t]) :] = decoy
+
+    det_opts = DetectOptions(
+        batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.005, regress=True
+    )
+    mgp_opts = MGPOptions(
+        window=1, score_decay=0.9, nms_thresh=0.3, max_boxes=BUDGET,
+        num_classes=C, flow_preset="fast",
+    )
+    trk_opts = TrackOptions(
+        max_tracks=6, anchors_per_round=3, anchor_thresh=0.3, conf_thresh=0.5,
+        cover_thresh=0.5, batch_size=4, image_hw=HW,
+    )
+    res_opts = RescoreOptions(
+        match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=1.0,
+        max_boxes=BUDGET, num_classes=C, max_tracks=6,
+    )
+    link_opts = LinkOptions(
+        link_thresh=0.5, suppress_thresh=0.3, max_paths=8, rescore="avg",
+        max_boxes=BUDGET, num_classes=C, min_score=0.0, backend="device",
+    )
+    det_proto = det_vid(
+        s["det_model"], s["det_params"], s["vid_proto"], box_proto, det_opts
+    )
+    cur = mgp(s["vid_proto"], det_proto, opts=mgp_opts, frames_u8=s["frames_u8"])
+    trk = track_from_det(
+        s["trk_model"], s["trk_params"], s["vid_proto"], cur, s["trk_cfg"],
+        trk_opts, frames_u8=s["frames_u8"],
+    )
+    _, cur = tubelet_rescore(s["vid_proto"], cur, trk, res_opts)
+    staged_det, _ = seq_nms_video(s["vid_proto"], cur, link_opts)
+
+    cfg = FusedConfig(
+        image_hw=HW, detect_batch=4, feat_batch=4, score_thresh=0.005,
+        mgp_window=1, mgp_decay=0.9, nms_thresh=0.3, det_budget=BUDGET,
+        out_budget=BUDGET, max_tracks=6, anchors_per_round=3, anchor_thresh=0.3,
+        track_conf=0.5, cover_thresh=0.5, rescore_match=0.5, top_ratio=0.5,
+        boost="max", bg_decay=1.0, link_thresh=0.5, suppress_thresh=0.3,
+        max_paths=8, link_rescore="avg", flow_preset="fast",
+    )
+    pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
+    out = pipe(
+        s["det_params"], s["trk_params"],
+        jnp.asarray(s["frames_u8"]), jnp.asarray(rois),
+        roi_mask=jnp.asarray(roi_mask),
+    )
+    fids = [f["frame"] for f in s["vid_proto"]["frames"]]
+    fused_det, _ = fused_to_protos(out, fids, s["vid_proto"]["video"])
+
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    assert len(staged_det["detections"]) > 0
+
+
 def test_fused_matches_staged_multiscale_tracker(matched_setup):
     """Scale-adaptive tracking (num_scales=3) parity across engines — the
     end-to-end tracker win (RESULTS.md SC table) was measured on the staged
