@@ -227,7 +227,8 @@ def test_fused_track_count_matches_staged(matched_setup):
     assert int(out.n_tracks) == len(staged_trk["tracks"]) > 0
 
 
-def test_fused_matches_staged_varying_slot_layout(matched_setup):
+@pytest.mark.parametrize("tubelet_boxes", [False, True])
+def test_fused_matches_staged_varying_slot_layout(matched_setup, tubelet_boxes):
     """Parity when the per-frame slot LAYOUT varies frame to frame.
 
     Regression test for the fused-MGP class-alignment bug (round 3): every
@@ -254,6 +255,7 @@ def test_fused_matches_staged_varying_slot_layout(matched_setup):
     res_opts = RescoreOptions(
         match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=0.7,
         max_boxes=BUDGET, num_classes=C, max_tracks=6,
+        tubelet_boxes=tubelet_boxes,
     )
     link_opts = LinkOptions(
         link_thresh=0.5, suppress_thresh=0.3, max_paths=8, rescore="avg",
@@ -288,6 +290,7 @@ def test_fused_matches_staged_varying_slot_layout(matched_setup):
         track_conf=0.5, cover_thresh=0.5, rescore_match=0.5, top_ratio=0.5,
         boost="max", bg_decay=0.7, link_thresh=0.5, suppress_thresh=0.3,
         max_paths=8, link_rescore="avg", flow_preset="fast",
+        tubelet_boxes=tubelet_boxes,
     )
     pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
     out = pipe(
