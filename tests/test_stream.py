@@ -275,6 +275,51 @@ def test_stream_cli_end_to_end(models, tmp_path):
     assert 0.0 <= m <= 1.0
 
 
+def test_stream_cli_stdin_survives_bad_video(models, tmp_path, monkeypatch):
+    """Queue (--stdin) mode: a video with missing proposals is logged and
+    skipped; the queue keeps draining (batch mode still fails fast)."""
+    import io
+
+    import vdetlib_tpu.cli.stream as stream_cli
+    from vdetlib_tpu.data.synth import box_proto as synth_box_proto
+    from vdetlib_tpu.data.synth import write_frames
+    from vdetlib_tpu.protos import proto_dump, proto_load
+
+    sv = make_video(
+        SynthConfig(num_frames=8, height=HW[0], width=HW[1], num_classes=C,
+                    seed=81, max_speed=2.0, proposals_per_frame=R),
+        video="good",
+    )
+    vid = write_frames(sv, str(tmp_path / "frames"))
+    proto_dump(vid, str(tmp_path / "good.vid.json"))
+    proto_dump(synth_box_proto(sv), str(tmp_path / "good.box.json"))
+    # bad entry: vid proto exists but its box proto does not
+    bad = make_video(
+        SynthConfig(num_frames=8, height=HW[0], width=HW[1], num_classes=C,
+                    seed=82, proposals_per_frame=R),
+        video="bad",
+    )
+    bad_vid = write_frames(bad, str(tmp_path / "frames"))
+    proto_dump(bad_vid, str(tmp_path / "bad.vid.json"))
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            f"{tmp_path / 'bad.vid.json'}\n{tmp_path / 'good.vid.json'}\n"
+        ),
+    )
+    argv = [
+        str(tmp_path / "work"), "--stdin",
+        "--model", "tiny", "--num_classes", str(C),
+        "--image_hw", str(HW[0]), str(HW[1]),
+        "--max_rois", str(R), "--chunk", "8", "--seed_thresh", "0.2",
+    ]
+    assert stream_cli.main(argv) == 0
+    assert not (tmp_path / "work" / "bad").exists()
+    final = proto_load(str(tmp_path / "work" / "good" / "final.json"))
+    assert final["video"] == "good"
+
+
 def test_stream_chunked_agrees_with_unchunked(models):
     """Chunked processing with carried state ≈ one big chunk (agreement, not
     exactness: the causal bwd-hop at chunk tails and the finite backtrack

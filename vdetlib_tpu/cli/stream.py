@@ -163,11 +163,18 @@ def main(argv=None) -> int:
 
     os.makedirs(args.workdir, exist_ok=True)
     if args.stdin:
+        # queue mode is a daemon loop: one bad video (missing proposals,
+        # decode error, varying scales) must not kill the stream — log and
+        # move on (same policy as cli/serve.py). Batch mode keeps failing
+        # fast so scripts see the error.
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 break
-            process(line)
+            try:
+                process(line)
+            except (Exception, SystemExit) as e:
+                log.warning("skip %s: %s", line, e)
     else:
         if not args.inputs:
             raise SystemExit("no inputs (pass vid_proto paths or --stdin)")
