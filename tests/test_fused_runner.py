@@ -118,6 +118,34 @@ def test_fused_engine_resume_skips_done(dataset, models_cfg, tmp_path):
         assert os.path.getmtime(p["final"]) == mtimes[p["final"]]  # untouched
 
 
+def _broken_video(vid_proto, name):
+    """vid_proto whose frame files don't exist (decode fails at load)."""
+    return dict(
+        vid_proto, video=name,
+        frames=[dict(f, path="missing/" + f["path"]) for f in vid_proto["frames"]],
+    )
+
+
+def test_fused_keep_going_skips_bad_video(dataset, models_cfg, tmp_path):
+    """A video that fails to load aborts the sweep by default; with
+    keep_going it is marked failed (no final.json) and the rest complete."""
+    tmp, inputs = dataset
+    models, cfg = models_cfg
+    bad = (_broken_video(inputs[0][0], "frbad"), inputs[0][1])
+    sweep = [bad] + list(inputs)
+
+    with pytest.raises(Exception):
+        run_videos_fused(str(tmp_path / "strict"), sweep, models, cfg)
+
+    results = run_videos_fused(
+        str(tmp_path / "kg"), sweep, models, cfg, keep_going=True
+    )
+    assert results[0].get("error") and not os.path.exists(results[0]["final"])
+    for p in results[1:]:
+        assert not p.get("error")
+        assert os.path.exists(p["final"])
+
+
 def test_fused_engine_grouped_dispatch(dataset, models_cfg, tmp_path):
     """group_size>1 batches same-bucket videos into one vmapped dispatch:
     outputs are valid per-video protos, deterministic across runs, and

@@ -168,6 +168,37 @@ def test_run_videos_batch(tmp_path, models, cfg):
         assert os.path.exists(r["result"])
 
 
+def test_run_videos_keep_going(tmp_path, models, cfg):
+    """Staged sweep: keep_going logs-and-skips a failing video (bad frame
+    paths) instead of aborting; strict mode still raises."""
+    import pytest
+
+    data = _dataset(tmp_path, n=2)
+    m, _ = models
+    inputs = [(vid, box_proto(sv)) for sv, vid in data]
+    bad_vid = dict(
+        inputs[0][0], video="pbad",
+        frames=[dict(f, path="missing/" + f["path"])
+                for f in inputs[0][0]["frames"]],
+    )
+    sweep = [(bad_vid, inputs[0][1])] + inputs
+
+    with pytest.raises(Exception):
+        run_videos(str(tmp_path / "strict"), sweep, m, cfg)
+
+    results = run_videos(str(tmp_path / "kg"), sweep, m, cfg, keep_going=True)
+    assert results[0].get("error") and not os.path.exists(results[0]["result"])
+    for r in results[1:]:
+        assert not r.get("error")
+        assert os.path.exists(r["result"])
+    # workers>1 path too
+    results_w = run_videos(
+        str(tmp_path / "kgw"), sweep, m, cfg, workers=2, keep_going=True
+    )
+    assert results_w[0].get("error")
+    assert all(os.path.exists(r["result"]) for r in results_w[1:])
+
+
 def test_run_videos_workers_parity(tmp_path, models, cfg):
     """workers=2 (cross-video thread pipelining) yields byte-identical protos.
 

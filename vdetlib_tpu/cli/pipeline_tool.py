@@ -84,6 +84,11 @@ def main(argv=None) -> int:
                         "one video's host JSON/glue work with another's "
                         "device compute; outputs and resume semantics "
                         "unchanged)")
+    p.add_argument("--keep_going", action="store_true",
+                   help="sweep mode: log-and-skip videos that fail instead of "
+                        "aborting the run (exit code 1 if any failed; failed "
+                        "videos have no final.json and are retried on rerun "
+                        "via resume-by-existence)")
     p.add_argument("--eval", action="store_true", help="compute mAP vs annot protos")
     p.add_argument(
         "--calibrate", default="none", choices=["none", "rank"],
@@ -173,11 +178,21 @@ def main(argv=None) -> int:
         from vdetlib_tpu.pipeline.fused_runner import run_videos_fused
 
         results = run_videos_fused(
-            args.workdir, inputs, models, cfg, group_size=args.fused_group
+            args.workdir, inputs, models, cfg, group_size=args.fused_group,
+            keep_going=args.keep_going,
         )
     else:
         results = run_videos(
-            args.workdir, inputs, models, cfg, workers=args.staged_workers
+            args.workdir, inputs, models, cfg, workers=args.staged_workers,
+            keep_going=args.keep_going,
+        )
+    failed = [p for p in results if p.get("error")]
+    if failed:
+        from vdetlib_tpu.utils.log import get_logger
+
+        get_logger("pipeline").warning(
+            "%d/%d videos failed: %s", len(failed), len(results),
+            ", ".join(p.get("video", p["result"]) for p in failed),
         )
 
     if args.eval:
@@ -205,7 +220,7 @@ def main(argv=None) -> int:
         pairs = []
         for vf, rf in eval_pairs:
             af = vf.replace(".vid.json", ".annot.json")
-            if os.path.exists(af):
+            if os.path.exists(af) and os.path.exists(rf):  # rf absent = failed video
                 dp = proto_load(rf)
                 if args.calibrate == "rank":
                     from vdetlib_tpu.evaluation.calibration import rank_normalize
@@ -216,7 +231,7 @@ def main(argv=None) -> int:
         for ci in sorted(aps):
             print(f"class {ci}: AP = {aps[ci]:.4f}")
         print(f"mAP = {m:.4f} over {len(pairs)} videos")
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -206,7 +206,8 @@ class FusedEngine:
 
 
 def run_videos_fused(
-    workdir: str, video_inputs, models, cfg, group_size: int = 1
+    workdir: str, video_inputs, models, cfg, group_size: int = 1,
+    keep_going: bool = False,
 ) -> list[dict]:
     """Fused-engine counterpart of runner.run_videos (same I/O contract).
 
@@ -227,6 +228,7 @@ def run_videos_fused(
     def paths_for(vid_proto):
         vdir = os.path.join(workdir, vid_proto["video"])
         return {
+            "video": vid_proto["video"],
             "final": os.path.join(vdir, "final.json"),
             "tubelets": os.path.join(vdir, "tubelets.json"),
             "result": os.path.join(vdir, "final.json"),
@@ -248,7 +250,21 @@ def run_videos_fused(
         for gi, group in enumerate(groups):
             if futs is None:
                 futs = [ex.submit(engine.load, v, b) for v, b, _ in group]
-            loadeds = [f.result() for f in futs]
+            loadeds = []
+            kept_group = []
+            for (v, b, p), f in zip(group, futs):
+                try:
+                    loadeds.append(f.result())
+                    kept_group.append((v, b, p))
+                except Exception as e:
+                    if not keep_going:
+                        raise
+                    log.warning(
+                        "fused %s FAILED to load (%s: %s) — continuing "
+                        "(--keep_going)", v["video"], type(e).__name__, e,
+                    )
+                    p["error"] = f"{type(e).__name__}: {e}"
+            group = kept_group
             futs = (
                 [ex.submit(engine.load, v, b) for v, b, _ in groups[gi + 1]]
                 if gi + 1 < len(groups)
@@ -263,7 +279,20 @@ def run_videos_fused(
                 while end < len(group) and loadeds[end][1].shape[0] == tp:
                     end += 1
                 vids = [g[0] for g in group[start:end]]
-                outs = engine.run_group(vids, loadeds[start:end])
+                try:
+                    outs = engine.run_group(vids, loadeds[start:end])
+                except Exception as e:
+                    if not keep_going:
+                        raise
+                    for vid_proto, _, p in group[start:end]:
+                        log.warning(
+                            "fused %s FAILED (%s: %s) — continuing "
+                            "(--keep_going)",
+                            vid_proto["video"], type(e).__name__, e,
+                        )
+                        p["error"] = f"{type(e).__name__}: {e}"
+                    start = end
+                    continue
                 for (vid_proto, _, p), ld, (det_proto, tubelets) in zip(
                     group[start:end], loadeds[start:end], outs
                 ):

@@ -204,12 +204,24 @@ def run_video(
     return paths
 
 
+def failed_paths(workdir: str, vid_proto: dict, err: BaseException) -> dict:
+    """Paths-shaped marker for a video that failed under keep_going: the
+    "result" path is where final.json WOULD be (callers must check existence
+    before loading), plus an "error" field for reporting."""
+    return {
+        "video": vid_proto["video"],
+        "result": os.path.join(workdir, vid_proto["video"], "final.json"),
+        "error": f"{type(err).__name__}: {err}",
+    }
+
+
 def run_videos(
     workdir: str,
     video_inputs: list[tuple[dict, Optional[dict]]],
     models: Models,
     cfg: PipelineConfig,
     workers: int = 1,
+    keep_going: bool = False,
 ) -> list[dict]:
     """Run the pipeline over (vid_proto, box_proto) pairs; returns path dicts.
 
@@ -241,7 +253,16 @@ def run_videos(
                 "pipeline: video %s (%d frames)",
                 vid_proto["video"], len(vid_proto["frames"]),
             )
-            return run_video(workdir, vid_proto, box_proto, models, cfg)
+            try:
+                return run_video(workdir, vid_proto, box_proto, models, cfg)
+            except Exception as e:
+                if not keep_going:
+                    raise
+                log.warning(
+                    "pipeline: %s FAILED (%s: %s) — continuing (--keep_going)",
+                    vid_proto["video"], type(e).__name__, e,
+                )
+                return failed_paths(workdir, vid_proto, e)
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             out = list(ex.map(one, video_inputs))
@@ -266,7 +287,14 @@ def run_videos(
                 "pipeline: video %s (%d frames)",
                 vid_proto["video"], len(vid_proto["frames"]),
             )
-            frames_dev = fut.result() if fut is not None else None
+            try:
+                frames_dev = fut.result() if fut is not None else None
+            except Exception as e:
+                if not keep_going:
+                    raise
+                frames_dev, e0 = None, e
+            else:
+                e0 = None
             fut = (
                 ex.submit(
                     load_frames_device,
@@ -276,12 +304,23 @@ def run_videos(
                 if needs_frames and i + 1 < len(video_inputs)
                 else None
             )
-            out.append(
-                run_video(
-                    workdir, vid_proto, box_proto, models, cfg,
-                    frames_dev=frames_dev,
+            try:
+                if e0 is not None:
+                    raise e0  # prefetch decode failed for THIS video
+                out.append(
+                    run_video(
+                        workdir, vid_proto, box_proto, models, cfg,
+                        frames_dev=frames_dev,
+                    )
                 )
-            )
+            except Exception as e:
+                if not keep_going:
+                    raise
+                log.warning(
+                    "pipeline: %s FAILED (%s: %s) — continuing (--keep_going)",
+                    vid_proto["video"], type(e).__name__, e,
+                )
+                out.append(failed_paths(workdir, vid_proto, e))
     metrics.set("frames", n_frames)
     metrics.set("videos", len(video_inputs))
     metrics.finish()
