@@ -154,6 +154,43 @@ def test_cli_track_scales_flag(tmp_path):
     assert tracks["method"] == "correlation_tracker"
 
 
+def test_cli_keep_going_eval_exit_code(tmp_path):
+    """--keep_going + --eval: failed video is skipped by eval, tool exits 1;
+    the healthy video still gets a full final.json."""
+    from vdetlib_tpu.cli.pipeline_tool import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    sv = make_video(
+        SynthConfig(
+            num_frames=4, height=HW[0], width=HW[1], num_classes=C,
+            proposals_per_frame=R, seed=8,
+        ),
+        video="kg0",
+    )
+    vid = write_frames(sv, str(data))
+    proto_dump(vid, str(data / "kg0.vid.json"))
+    proto_dump(box_proto(sv), str(data / "kg0.box.json"))
+    proto_dump(annot_proto(sv), str(data / "kg0.annot.json"))
+    bad = dict(
+        vid, video="aabad",  # sorts first: failure precedes the good video
+        frames=[dict(f, path="missing/" + f["path"]) for f in vid["frames"]],
+    )
+    proto_dump(bad, str(data / "aabad.vid.json"))
+    proto_dump(box_proto(sv), str(data / "aabad.box.json"))
+
+    argv = [
+        str(data), str(tmp_path / "work"), "--model", "tiny",
+        "--num_classes", str(C), "--image_hw", str(HW[0]), str(HW[1]),
+        "--max_rois", str(R), "--max_tracks", "4", "--eval",
+    ]
+    assert main(argv + ["--keep_going"]) == 1
+    assert not os.path.exists(str(tmp_path / "work" / "aabad" / "final.json"))
+    assert os.path.exists(str(tmp_path / "work" / "kg0" / "final.json"))
+    with pytest.raises(Exception):
+        main(argv)  # strict mode still fails fast (fresh attempt on aabad)
+
+
 def test_run_videos_batch(tmp_path, models, cfg):
     data = _dataset(tmp_path, n=2)
     m, _ = models
