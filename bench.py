@@ -119,13 +119,29 @@ def main():
     dt = min(times)
     fps = V * T / dt
 
+    # MFU next to the fps headline (VERDICT r3 item 5): analytic model FLOPs
+    # of the dispatch (utils/flops.py, cross-checked against XLA cost_analysis
+    # by scripts/mfu_report.py) ÷ measured wall ÷ bf16 peak.
+    import sys
+
+    from vdetlib_tpu.utils import flops as _F
+
+    model_flops = _F.total_flops(
+        _F.fused_dispatch_flops(det_cfg, trk_cfg, cfg, T, R, videos=V)
+    )
+    print(
+        f"MFU: {100.0 * _F.mfu(model_flops, dt):.2f}% of "
+        f"{_F.PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s bf16 peak "
+        f"({model_flops / dt / 1e12:.1f} TFLOP/s achieved, "
+        f"{model_flops / V / 1e9:.0f} GFLOP/video)",
+        file=sys.stderr,
+    )
+
     # strict-parity reference (V=1, the single-video executable that the
     # fused engine's default group_size=1 runs) — reported on stderr so the
     # driver's one-JSON-line stdout contract holds. The V>1 headline is the
     # same program vmapped over videos; its bf16 reassociation divergence is
     # quantified in bench_grouped_parity.py / RESULTS.md.
-    import sys
-
     @jax.jit
     def run1(det_p, trk_p, frames, rois):
         out = pipeline(det_p, trk_p, frames, rois)
