@@ -20,6 +20,7 @@ def rescore(
     top_ratio=0.5,
     boost="max",
     min_matched_frac=0.0,
+    stat_floor=0,
 ):
     T, N, C = det_scores.shape
     K = trk_boxes.shape[0]
@@ -44,7 +45,8 @@ def rescore(
                 vals = [det_scores[t, n, c] for n in range(N) if match[t, k, n]]
                 per_frame[t] = max(vals) if vals else 0.0
             top = np.sort(per_frame)[::-1][:kk]
-            stats[k, c] = top.mean()
+            # length prior: denominator floored at stat_floor frames
+            stats[k, c] = top.sum() / max(len(top), stat_floor, 1)
 
     # track-quality gate: tracks matched on too few of their live frames
     # contribute no statistic (neither boost nor downstream injection)

@@ -199,3 +199,72 @@ def test_stage_end_to_end():
         assert entry.get(cls, 0.0) > 0.5, (k, entry)
     # rescored det proto retains all frames
     assert {d["frame"] for d in det_out["detections"]} == set(sv.frame_ids)
+
+
+@pytest.mark.parametrize("seed,floor", [(4, 3), (5, 8)])
+def test_stat_floor_matches_oracle(seed, floor):
+    rng = np.random.default_rng(seed)
+    db, ds, dm, tb, tm = _problem(rng)
+    want_scores, want_stats = oracle_rescore(
+        db, ds, dm, tb, tm, match_thresh=0.5, bg_decay=0.7, boost="mean",
+        stat_floor=floor,
+    )
+    got_scores, got_stats, _ = rescore_arrays(
+        jnp.asarray(db), jnp.asarray(ds), jnp.asarray(dm),
+        jnp.asarray(tb), jnp.asarray(tm), 0.5, 0.7, boost="mean",
+        stat_floor=float(floor),
+    )
+    np.testing.assert_allclose(np.asarray(got_scores), want_scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_stats), want_stats, rtol=1e-4, atol=1e-5)
+    # precondition (CLAUDE.md blind-spot lesson): the floor actually bound —
+    # at least one track's top-k count is below it
+    live = tm.sum(axis=1)
+    assert (np.ceil(live * 0.5) < floor).any()
+
+
+def test_stat_floor_damps_short_flicker_tracks():
+    """The distractor signature the floor targets: a SHORT track with high
+    matched scores currently gets a small top-k denominator and a HIGHER
+    statistic than a long real track with occasional dips. The floor damps
+    the short track proportionally and leaves the long track untouched."""
+    T, N, C, K = 30, 2, 3, 2
+    A = np.array([10.0, 10.0, 30.0, 30.0], np.float32)
+    B = np.array([100.0, 100.0, 130.0, 130.0], np.float32)
+    det_boxes = np.zeros((T, N, 4), np.float32)
+    det_boxes[:, 0] = A
+    det_boxes[:, 1] = B
+    det_scores = np.zeros((T, N, C), np.float32)
+    det_mask = np.zeros((T, N), bool)
+    # long real track: matched every frame at ~0.7 with dips
+    det_mask[:, 0] = True
+    det_scores[:, 0, 1] = 0.7
+    det_scores[::5, 0, 1] = 0.4  # occasional dips
+    # short flicker track: live 4 frames, matched on 3 at 0.9
+    det_mask[10:13, 1] = True
+    det_scores[10:13, 1, 2] = 0.9
+    trk_boxes = np.zeros((K, T, 4), np.float32)
+    trk_boxes[0, :] = A
+    trk_boxes[1, :] = B
+    trk_mask = np.zeros((K, T), bool)
+    trk_mask[0, :] = True
+    trk_mask[1, 10:14] = True  # live length 4 → k = 2
+
+    def run(floor):
+        _, st, _ = rescore_arrays(
+            jnp.asarray(det_boxes), jnp.asarray(det_scores),
+            jnp.asarray(det_mask), jnp.asarray(trk_boxes),
+            jnp.asarray(trk_mask), 0.5, 1.0, top_ratio=0.5, boost="max",
+            stat_floor=float(floor),
+        )
+        return np.asarray(st)
+
+    st0 = run(0)
+    # precondition: WITHOUT the floor the flicker track outscores the real
+    # track — the failure mode being fixed must actually be present
+    assert st0[1, 2] > st0[0, 1]
+    assert st0[1, 2] == pytest.approx(0.9)  # top-2 mean of (.9, .9)
+    st8 = run(8)
+    # floored: flicker stat scaled by k/floor = 2/8; real track has k=15>8
+    assert st8[1, 2] == pytest.approx(0.9 * 2 / 8)
+    np.testing.assert_allclose(st8[0], st0[0])
+    assert st8[1, 2] < st8[0, 1]

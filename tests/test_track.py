@@ -202,3 +202,156 @@ def test_track_from_det_end_to_end(setup):
                 best = max(best, iou([b["bbox"]], sv.gt_boxes[k, t : t + 1])[0, 0])
         covered += best > 0.5
     assert covered >= 2
+
+
+# ---------------------------------------------------------------------------
+# Detection snapping (TrackOptions.snap_weight — round 4)
+# ---------------------------------------------------------------------------
+
+
+def _snap_dets_from_gt(sv, rng, N=8, dup_slot=True):
+    """Per-frame det arrays: GT-jittered boxes + junk, random scores."""
+    K = sv.gt_boxes.shape[0]
+    det_b = np.zeros((T, N, 4), np.float32)
+    det_s = rng.uniform(0.3, 1.0, size=(T, N)).astype(np.float32)
+    det_v = rng.uniform(size=(T, N)) < 0.85
+    for t in range(T):
+        for n in range(N):
+            k = n % K
+            det_b[t, n] = sv.gt_boxes[k, t] + rng.normal(0, 3, 4)
+    if dup_slot:
+        # exact-duplicate det (score AND box): exercises the tie-break path
+        det_b[:, N - 1] = det_b[:, 0]
+        det_s[:, N - 1] = det_s[:, 0]
+        det_v[:, N - 1] = det_v[:, 0]
+    return det_b, det_s, det_v
+
+
+def test_snap_permutation_invariance(setup):
+    """snap_to_dets must be det-slot-permutation-invariant: the staged and
+    fused engines pack the SAME det set in different slot orders and must
+    snap identically (the engine-parity contract). Bitwise equality — every
+    reduction in the snap rule is a masked max."""
+    sv, cfg, model, params, feats = setup
+    rng = np.random.default_rng(7)
+    det_b, det_s, det_v = _snap_dets_from_gt(sv, rng)
+    anchor_ts = jnp.asarray([2, T // 2])
+    anchor_boxes = jnp.asarray([sv.gt_boxes[0, 2], sv.gt_boxes[1, T // 2]])
+
+    def run(b, s, v):
+        return track_batch(
+            model, cfg, feats, anchor_ts, anchor_boxes, 0.3,
+            snap=(jnp.asarray(b), jnp.asarray(s), jnp.asarray(v)),
+            snap_iou=0.4, snap_weight=0.5,
+        )
+
+    b1, c1, a1 = run(det_b, det_s, det_v)
+    perm = rng.permutation(det_b.shape[1])
+    b2, c2, a2 = run(det_b[:, perm], det_s[:, perm], det_v[:, perm])
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # precondition: snapping actually moved boxes vs the no-snap run
+    # (CLAUDE.md "Parity-test blind spots" — assert the variation)
+    b0, _, a0 = track_batch(model, cfg, feats, anchor_ts, anchor_boxes, 0.3)
+    live = np.asarray(a1) & np.asarray(a0)
+    assert np.abs(np.asarray(b1) - np.asarray(b0))[live].max() > 0.5
+
+
+def test_snap_pulls_toward_detections(setup):
+    """With perfect GT detections available every frame, snapping must not
+    hurt GT-following and must move boxes toward the detections."""
+    sv, cfg, model, params, feats = setup
+    K = sv.gt_boxes.shape[0]
+    N = K
+    det_b = np.swapaxes(sv.gt_boxes, 0, 1).astype(np.float32)  # (T, K, 4)
+    det_s = np.full((T, N), 0.9, np.float32)
+    det_v = np.ones((T, N), bool)
+    anchor_t = jnp.asarray([T // 2] * K)
+    anchor_boxes = jnp.asarray(sv.gt_boxes[:, T // 2])
+    b0, _, a0 = track_batch(model, cfg, feats, anchor_t, anchor_boxes, 0.3)
+    b1, _, a1 = track_batch(
+        model, cfg, feats, anchor_t, anchor_boxes, 0.3,
+        snap=(jnp.asarray(det_b), jnp.asarray(det_s), jnp.asarray(det_v)),
+        snap_iou=0.4, snap_weight=0.5,
+    )
+    b0, a0, b1, a1 = (np.asarray(x) for x in (b0, a0, b1, a1))
+
+    def mean_iou(boxes, alive):
+        vals = [
+            iou(boxes[k, t : t + 1], sv.gt_boxes[k, t : t + 1])[0, 0]
+            for k in range(K)
+            for t in range(T)
+            if alive[k, t]
+        ]
+        return np.mean(vals)
+
+    assert a1.sum() >= a0.sum() * 0.9  # snapping must not kill tracks
+    assert mean_iou(b1, a1) >= mean_iou(b0, a0) - 1e-3
+
+
+def test_folded_scan_matches_two_scan_form_with_snap(setup):
+    """Fold-parity (same contract as the no-snap test) with snapping on."""
+    import jax
+    from vdetlib_tpu.nn.tracker_net import extract_template
+    from vdetlib_tpu.video.track import _track_one_direction
+
+    sv, cfg, model, params, feats = setup
+    rng = np.random.default_rng(11)
+    det_b, det_s, det_v = _snap_dets_from_gt(sv, rng)
+    snap = (jnp.asarray(det_b), jnp.asarray(det_s), jnp.asarray(det_v))
+    anchor_ts = jnp.asarray([2, T // 2, T - 2])
+    anchor_boxes = jnp.asarray(
+        [sv.gt_boxes[0, 2], sv.gt_boxes[1, T // 2], sv.gt_boxes[2, T - 2]]
+    )
+    kw = dict(snap_iou=0.4, snap_weight=0.5)
+
+    def one(anchor_t, anchor_box):
+        template = extract_template(feats[anchor_t], anchor_box, cfg)
+        fb, fc, fa = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, 0.3, reverse=False,
+            snap=snap, **kw,
+        )
+        bb, bc, ba = _track_one_direction(
+            feats, anchor_t, anchor_box, template, cfg, 0.3, reverse=True,
+            snap=snap, **kw,
+        )
+        use_f = jnp.arange(T) >= anchor_t
+        return (
+            jnp.where(use_f[:, None], fb, bb),
+            jnp.where(use_f, fc, bc),
+            jnp.where(use_f, fa, ba),
+        )
+
+    ref_b, ref_c, ref_a = jax.vmap(one)(anchor_ts, anchor_boxes)
+    got_b, got_c, got_a = track_batch(
+        model, cfg, feats, anchor_ts, anchor_boxes, 0.3, snap=snap, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(ref_a))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=5e-3)
+
+
+def test_track_from_det_with_snap(setup):
+    """End-to-end staged stage with snapping on: still well-formed tracks,
+    and the tracks differ from the no-snap run (the knob is live)."""
+    sv, cfg, model, params, _ = setup
+    vid = vid_proto_in_memory(sv)
+    det = det_proto_from_gt(sv, dets_per_object=2, distractors_per_frame=2)
+    base = dict(max_tracks=8, anchors_per_round=4, image_hw=HW)
+    tp0 = track_from_det(
+        model, params, vid, det, cfg, TrackOptions(**base), frames_u8=sv.frames
+    )
+    tp1 = track_from_det(
+        model, params, vid, det, cfg,
+        TrackOptions(snap_weight=0.5, snap_iou=0.4, **base),
+        frames_u8=sv.frames,
+    )
+    assert 1 <= len(tp1["tracks"]) <= 8
+    for track in tp1["tracks"]:
+        frames = [b["frame"] for b in track]
+        assert frames == sorted(frames)
+        assert all(len(b["bbox"]) == 4 for b in track)
+    flat0 = [tuple(np.round(b["bbox"], 3)) for tr in tp0["tracks"] for b in tr]
+    flat1 = [tuple(np.round(b["bbox"], 3)) for tr in tp1["tracks"] for b in tr]
+    assert flat0 != flat1  # precondition: snapping changed the output

@@ -51,6 +51,18 @@ def main(argv=None) -> int:
                    help="min det score to seed a track (TrackOptions)")
     p.add_argument("--track_conf", type=float, default=0.5,
                    help="tracker termination confidence (TrackOptions)")
+    p.add_argument("--snap_weight", type=float, default=0.0,
+                   help="detection snapping: blend each tracked box this far "
+                        "toward the best same-frame detection overlapping it "
+                        "(IoU > --snap_iou, anchor-candidate set) — "
+                        "re-anchors the tracker to detector evidence so "
+                        "correlation drift cannot compound (0 = off)")
+    p.add_argument("--snap_iou", type=float, default=0.5,
+                   help="min IoU for detection snapping (see --snap_weight)")
+    p.add_argument("--stat_floor", type=int, default=0,
+                   help="length prior on the tubelet statistic: top-k mean "
+                        "denominator is at least this many frames, damping "
+                        "short flicker tracks (0 = off)")
     p.add_argument("--boost", default="max", choices=["max", "mean"],
                    help="rescore boost statistic application")
     p.add_argument("--bg_decay", type=float, default=1.0,
@@ -154,6 +166,7 @@ def main(argv=None) -> int:
         track=TrackOptions(
             max_tracks=args.max_tracks, image_hw=hw,
             anchor_thresh=args.anchor_thresh, conf_thresh=args.track_conf,
+            snap_weight=args.snap_weight, snap_iou=args.snap_iou,
         ),
         tracker_cfg=trk_cfg,
         rescore=RescoreOptions(
@@ -161,6 +174,7 @@ def main(argv=None) -> int:
             boost=args.boost, bg_decay=args.bg_decay,
             top_ratio=args.top_ratio,
             min_matched_frac=args.min_matched_frac,
+            stat_floor=args.stat_floor,
         ),
         link=LinkOptions(num_classes=args.num_classes),
         perturb=perturb_opts,

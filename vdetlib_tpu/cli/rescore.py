@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     p.add_argument("--min_matched_frac", type=float, default=0.0,
                    help="track-quality gate: a track boosts only if dets "
                         "match >= this fraction of its live frames")
+    p.add_argument("--stat_floor", type=int, default=0,
+                   help="length prior: top-k mean denominator is at least "
+                        "this many frames (damps short flicker tracks)")
     p.add_argument("--max_boxes", type=int, default=64)
     p.add_argument("--num_classes", type=int, default=31)
     p.add_argument("--max_tracks", type=int, default=64)
@@ -42,6 +45,7 @@ def main(argv=None) -> int:
         boost=args.boost,
         bg_decay=args.bg_decay,
         min_matched_frac=args.min_matched_frac,
+        stat_floor=args.stat_floor,
         max_boxes=args.max_boxes,
         num_classes=args.num_classes,
         max_tracks=args.max_tracks,

@@ -98,6 +98,12 @@ def main(argv=None) -> int:
                    help="tubelet statistic = mean of top this-fraction scores")
     p.add_argument("--min_matched_frac", type=float, default=0.0,
                    help="track-quality gate (see pipeline tool)")
+    p.add_argument("--snap_weight", type=float, default=0.0,
+                   help="detection snapping weight (see pipeline tool)")
+    p.add_argument("--snap_iou", type=float, default=0.5,
+                   help="min IoU for detection snapping")
+    p.add_argument("--stat_floor", type=int, default=0,
+                   help="length prior on the tubelet statistic (frames)")
     p.add_argument("--tubelet_boxes", action="store_true",
                    help="inject interior-gap track boxes as detections")
     args = p.parse_args(argv)
@@ -129,12 +135,15 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         detect=DetectOptions(max_rois=args.max_rois, image_hw=hw, score_thresh=0.05),
         mgp=MGPOptions(num_classes=args.num_classes, image_hw=hw),
-        track=TrackOptions(image_hw=hw),
+        track=TrackOptions(
+            image_hw=hw, snap_weight=args.snap_weight, snap_iou=args.snap_iou,
+        ),
         tracker_cfg=trk_cfg,
         rescore=RescoreOptions(
             num_classes=args.num_classes, boost=args.boost,
             bg_decay=args.bg_decay, top_ratio=args.top_ratio,
             min_matched_frac=args.min_matched_frac,
+            stat_floor=args.stat_floor,
             tubelet_boxes=args.tubelet_boxes,
         ),
         link=LinkOptions(num_classes=args.num_classes),

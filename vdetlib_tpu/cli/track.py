@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     p.add_argument("--anchor_thresh", type=float, default=0.3)
     p.add_argument("--conf_thresh", type=float, default=0.5)
     p.add_argument("--cover_thresh", type=float, default=0.5)
+    p.add_argument("--snap_weight", type=float, default=0.0,
+                   help="detection snapping: blend tracked boxes toward the "
+                        "best overlapping same-frame detection (0 = off)")
+    p.add_argument("--snap_iou", type=float, default=0.5)
     p.add_argument("--image_hw", type=int, nargs=2, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--overwrite", action="store_true")
@@ -49,6 +53,8 @@ def main(argv=None) -> int:
         anchor_thresh=args.anchor_thresh,
         conf_thresh=args.conf_thresh,
         cover_thresh=args.cover_thresh,
+        snap_weight=args.snap_weight,
+        snap_iou=args.snap_iou,
         image_hw=image_hw,
     )
     tp = track_from_det(model, params, vid, det, cfg, opts)

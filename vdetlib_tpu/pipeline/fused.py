@@ -71,12 +71,15 @@ class FusedConfig:
     anchor_thresh: float = 0.3  # TrackOptions.anchor_thresh
     track_conf: float = 0.5  # TrackOptions.conf_thresh
     cover_thresh: float = 0.5  # TrackOptions.cover_thresh
+    snap_weight: float = 0.0  # TrackOptions.snap_weight (0 = off)
+    snap_iou: float = 0.5  # TrackOptions.snap_iou
     # rescore
     rescore_match: float = 0.5  # RescoreOptions.match_thresh
     top_ratio: float = 0.5
     boost: str = "max"
     bg_decay: float = 1.0
     min_matched_frac: float = 0.0  # RescoreOptions.min_matched_frac
+    stat_floor: int = 0  # RescoreOptions.stat_floor (length prior)
     # seq-NMS link
     link_thresh: float = 0.5
     suppress_thresh: float = 0.3
@@ -279,6 +282,7 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
             top_ratio=cfg.top_ratio,
             boost=cfg.boost,
             min_matched_frac=cfg.min_matched_frac,
+            stat_floor=float(cfg.stat_floor),
         )
 
         if cfg.tubelet_boxes:
@@ -353,6 +357,13 @@ def _greedy_track_rounds(
     F = T * M
     A = cfg.anchors_per_round
     K = cfg.max_tracks
+    # detection snapping uses the anchor-candidate det set — the SAME set
+    # the staged path builds in track_from_det (post-MGP dedup'd dets with
+    # score >= anchor_thresh); snap_to_dets is slot-permutation-invariant,
+    # so the engines' different packings of this set snap identically.
+    snap = (
+        (cand_boxes, cand_scores, cand_mask) if cfg.snap_weight > 0.0 else None
+    )
     b_flat = cand_boxes.reshape(F, 4)
     s_flat = cand_scores.reshape(F)
     m_flat = cand_mask.reshape(F)
@@ -385,7 +396,8 @@ def _greedy_track_rounds(
         anchor_ts = t_flat[picks]
         anchor_boxes = b_flat[picks]
         tb, tc, ta = track_batch(
-            trk_model, trk_cfg, feats, anchor_ts, anchor_boxes, cfg.track_conf
+            trk_model, trk_cfg, feats, anchor_ts, anchor_boxes, cfg.track_conf,
+            snap=snap, snap_iou=cfg.snap_iou, snap_weight=cfg.snap_weight,
         )
         ta = ta & valids[:, None] & frame_ok[None, :]
         # K-slot scatter in pick order (invalid lanes land in the dummy row)

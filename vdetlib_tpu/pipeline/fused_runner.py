@@ -72,11 +72,14 @@ def fused_config_from_pipeline(cfg) -> FusedConfig:
         anchor_thresh=cfg.track.anchor_thresh,
         track_conf=cfg.track.conf_thresh,
         cover_thresh=cfg.track.cover_thresh,
+        snap_weight=cfg.track.snap_weight,
+        snap_iou=cfg.track.snap_iou,
         rescore_match=cfg.rescore.match_thresh,
         top_ratio=cfg.rescore.top_ratio,
         boost=cfg.rescore.boost,
         bg_decay=cfg.rescore.bg_decay,
         min_matched_frac=cfg.rescore.min_matched_frac,
+        stat_floor=cfg.rescore.stat_floor,
         link_thresh=cfg.link.link_thresh,
         suppress_thresh=cfg.link.suppress_thresh,
         max_paths=cfg.link.max_paths,

@@ -76,6 +76,12 @@ class ConfigDraw:
     max_paths: int
     link_rescore: str
     flow_preset: str
+    # round-4 accuracy knobs — drawn from a SEPARATE rng stream so the
+    # pre-existing screened corpus seeds keep producing identical configs
+    # for every older field.
+    snap_weight: float = 0.0
+    snap_iou: float = 0.5
+    stat_floor: int = 0
 
 
 @dataclass(frozen=True)
@@ -96,6 +102,11 @@ def sample_config(seed: int) -> ConfigDraw:
 
     def pick(xs):
         return xs[int(rng.integers(len(xs)))]
+
+    rng2 = np.random.default_rng(seed ^ 0xA11CE)  # round-4 knob stream
+
+    def pick2(xs):
+        return xs[int(rng2.integers(len(xs)))]
 
     det_budget = int(pick([24, 32]))
     return ConfigDraw(
@@ -122,6 +133,9 @@ def sample_config(seed: int) -> ConfigDraw:
         max_paths=int(pick([6, 8, 12])),
         link_rescore=pick(["avg", "max"]),
         flow_preset=pick(["fast", "fastest"]),
+        snap_weight=float(pick2([0.0, 0.5, 0.75])),
+        snap_iou=float(pick2([0.4, 0.5])),
+        stat_floor=int(pick2([0, 3, 5])),
     )
 
 
@@ -262,12 +276,13 @@ def _staged_opts(cd: ConfigDraw):
         max_tracks=cd.max_tracks, anchors_per_round=cd.anchors_per_round,
         anchor_thresh=cd.anchor_thresh, conf_thresh=cd.track_conf,
         cover_thresh=cd.cover_thresh, batch_size=4, image_hw=HW,
+        snap_weight=cd.snap_weight, snap_iou=cd.snap_iou,
     )
     res = RescoreOptions(
         match_thresh=cd.rescore_match, top_ratio=cd.top_ratio, boost=cd.boost,
         bg_decay=cd.bg_decay, max_boxes=cd.out_budget, num_classes=C,
         max_tracks=cd.max_tracks, tubelet_boxes=cd.tubelet_boxes,
-        min_matched_frac=cd.min_matched_frac,
+        min_matched_frac=cd.min_matched_frac, stat_floor=cd.stat_floor,
     )
     link = LinkOptions(
         link_thresh=cd.link_thresh, suppress_thresh=cd.suppress_thresh,
@@ -293,6 +308,8 @@ def _fused_config(cd: ConfigDraw):
         link_thresh=cd.link_thresh, suppress_thresh=cd.suppress_thresh,
         max_paths=cd.max_paths, link_rescore=cd.link_rescore,
         flow_preset=cd.flow_preset,
+        snap_weight=cd.snap_weight, snap_iou=cd.snap_iou,
+        stat_floor=cd.stat_floor,
     )
 
 
@@ -443,6 +460,8 @@ def run_case(models: dict, cd: ConfigDraw, dd: DataDraw, root: str | None = None
             mgp_window=cd.mgp_window,
             boost=cd.boost,
             bg_decay_on=cd.bg_decay < 1.0,
+            snap_on=cd.snap_weight > 0.0,
+            stat_floor_on=cd.stat_floor > 0,
         )
         return dict(
             ok=not mismatches,
@@ -474,6 +493,9 @@ def corpus_coverage(reports: list) -> dict:
         any_mgp_window_2=any(d["mgp_window"] == 2 for d in ds),
         any_boost_mean=any(d["boost"] == "mean" for d in ds),
         any_bg_decay=any(d["bg_decay_on"] for d in ds),
+        any_snap=any(d["snap_on"] for d in ds),
+        any_snap_off=any(not d["snap_on"] for d in ds),
+        any_stat_floor=any(d["stat_floor_on"] for d in ds),
         most_cases_nonempty=(
             sum(d["n_final_dets"] > 0 for d in ds) >= max(1, (2 * len(ds)) // 3)
         ),

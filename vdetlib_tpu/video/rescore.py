@@ -49,6 +49,15 @@ class RescoreOptions:
     # but still count as on-track — bg_decay never punishes a real det for
     # its track's quality.
     min_matched_frac: float = 0.0
+    # length prior on the tubelet statistic: the top-k mean's DENOMINATOR is
+    # at least this many frames, so a track shorter than stat_floor/top_ratio
+    # live frames has its statistic proportionally damped. Rationale: k
+    # scales with live length, so a 3-frame flickering-distractor track gets
+    # k=2 and a HIGHER statistic than a 30-frame real track with occasional
+    # dips — the statistic rewarded short consistent flickers, and
+    # min_matched_frac cannot catch them (they match on most of their short
+    # life). 0 = off.
+    stat_floor: int = 0
     max_boxes: int = 64
     num_classes: int = 31
     max_tracks: int = 64
@@ -76,6 +85,7 @@ def rescore_arrays(
     boost: str = "max",
     trk_cls_scores=None,  # optional (K, T, C) per-track-box class scores
     min_matched_frac=0.0,  # track-quality gate (RescoreOptions)
+    stat_floor=0.0,  # length prior on the statistic (RescoreOptions)
 ):
     """Core rescoring math.
 
@@ -118,8 +128,8 @@ def rescore_arrays(
     ranks = jnp.arange(T, dtype=jnp.float32)[None, :, None]
     topk_mask = ranks < k_each[:, None, None]
     stats = jnp.sum(sorted_scores * topk_mask, axis=1) / jnp.maximum(
-        jnp.sum(topk_mask, axis=1), 1.0
-    )  # (K, C)
+        jnp.sum(topk_mask, axis=1), jnp.maximum(stat_floor, 1.0)
+    )  # (K, C) — denominator floored at stat_floor (length prior)
 
     # track-quality gate: zero the statistic of tracks whose boxes rarely
     # match a detection (flickering-distractor signature) — they neither
@@ -180,6 +190,7 @@ def tubelet_rescore(
         boost=opts.boost,
         trk_cls_scores=jnp.asarray(trk_cls) if has_perturb else None,
         min_matched_frac=opts.min_matched_frac,
+        stat_floor=float(opts.stat_floor),
     )
     new_scores = np.asarray(new_scores)
     stats = np.asarray(stats)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdetlib_tpu.data.loader import FrameLoader
+from vdetlib_tpu.geometry.boxes import pairwise_iou
 from vdetlib_tpu.nn.tracker_net import (
     TrackerConfig,
     TrackerNet,
@@ -55,6 +56,14 @@ class TrackOptions:
     cover_thresh: float = 0.5  # det covered if IoU with a track box exceeds this
     batch_size: int = 16  # frames per feature-extraction batch
     image_hw: Optional[tuple] = None  # None = native frame size
+    # detection snapping: after each NCC update, blend the tracked box toward
+    # the best same-frame detection overlapping it (IoU > snap_iou among the
+    # anchor-candidate det set). Re-anchors the tracker to detector evidence
+    # every frame so correlation drift cannot compound — the headroom probe
+    # (RESULTS.md round 4) attributed the pipeline's largest accuracy gap to
+    # track identity/drift. 0.0 = off.
+    snap_weight: float = 0.0
+    snap_iou: float = 0.5
 
 
 def init_tracker(cfg: TrackerConfig = TrackerConfig(), image_hw=(240, 320), seed: int = 0):
@@ -136,7 +145,39 @@ def ncc_update(feat_t, box, template, cfg):
     return new_box, peak
 
 
-def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse):
+def snap_to_dets(box, det_boxes, det_scores, det_valid, snap_iou, snap_weight):
+    """Blend a tracked box toward the best same-frame detection (one lane).
+
+    Selection: among valid dets with IoU(box, det) > snap_iou, the one with
+    the highest score; score ties break by higher IoU, and any residual tie
+    by coordinate-wise max. Every reduction is a masked max, so the result is
+    PERMUTATION-INVARIANT in the det slot axis — the staged and fused engines
+    pack the same det set in different slot orders and must snap identically
+    (the parity contract of tests/test_fused_parity.py).
+
+    Args:
+      box: (4,) tracked box; det_boxes: (N, 4); det_scores/det_valid: (N,).
+    Returns:
+      (snapped (4,), any_candidate (bool)).
+    """
+    iou = pairwise_iou(box[None], det_boxes)[0]  # (N,)
+    cand = det_valid & (iou > snap_iou)
+    neg = jnp.float32(-jnp.inf)
+    s = jnp.where(cand, det_scores, neg)
+    s_max = jnp.max(s)
+    any_c = s_max > neg
+    c2 = cand & (det_scores == s_max)
+    i_max = jnp.max(jnp.where(c2, iou, neg))
+    c3 = c2 & (iou == i_max)
+    target = jnp.max(jnp.where(c3[:, None], det_boxes, neg), axis=0)  # (4,)
+    snapped = jnp.where(
+        any_c, (1.0 - snap_weight) * box + snap_weight * target, box
+    )
+    return snapped, any_c
+
+
+def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh, reverse,
+                         snap=None, snap_iou=0.5, snap_weight=0.5):
     """Scan over the full frame axis for one anchor, one direction.
 
     Args:
@@ -153,9 +194,18 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
     if reverse:
         feats = feats[::-1]
         ts = ts[::-1]
+    if snap is not None:
+        snap_b, snap_s, snap_v = snap
+        if reverse:
+            snap_b, snap_s, snap_v = snap_b[::-1], snap_s[::-1], snap_v[::-1]
+    else:
+        # zero-det placeholder keeps ONE scan structure (valid all-False)
+        snap_b = jnp.zeros((T, 1, 4), jnp.float32)
+        snap_s = jnp.zeros((T, 1), jnp.float32)
+        snap_v = jnp.zeros((T, 1), bool)
 
     def step(carry, inp):
-        feat_t, t = inp
+        feat_t, t, db, dsc, dv = inp
         box, alive = carry
         started = t == anchor_t
         box = jnp.where(started, anchor_box, box)
@@ -165,12 +215,17 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive & ok, alive)
         new_box = jnp.where(track_now & ok, new_box, box)
+        if snap is not None:
+            snapped, _ = snap_to_dets(new_box, db, dsc, dv, snap_iou, snap_weight)
+            new_box = jnp.where(track_now & ok, snapped, new_box)
         conf_out = jnp.where(started, 1.0, peak)
         emit_alive = jnp.where(started, True, new_alive)
         return (new_box, new_alive), (new_box, conf_out, emit_alive)
 
     init = (jnp.zeros(4, jnp.float32), jnp.asarray(False))
-    _, (boxes, conf, alive) = jax.lax.scan(step, init, (feats, ts))
+    _, (boxes, conf, alive) = jax.lax.scan(
+        step, init, (feats, ts, snap_b, snap_s, snap_v)
+    )
     if reverse:
         boxes, conf, alive = boxes[::-1], conf[::-1], alive[::-1]
     return boxes, conf, alive
@@ -187,6 +242,9 @@ def track_batch(
     anchor_boxes,
     conf_thresh: float,
     unroll: int = 1,
+    snap=None,  # optional (det_boxes (T,N,4), det_scores (T,N), valid (T,N))
+    snap_iou=0.5,
+    snap_weight=0.5,
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
@@ -210,6 +268,7 @@ def track_batch(
 
     if (
         cfg.num_scales <= 1
+        and snap is None  # the parked Pallas kernel has no snapping path
         and jax.default_backend() == "tpu"
         and os.environ.get("VDETLIB_TPU_TRACK_PALLAS") == "1"
     ):
@@ -241,6 +300,15 @@ def track_batch(
         feat_f, t = inp
         tb = T - 1 - t
         feat_b = jax.lax.dynamic_index_in_dim(feats, tb, 0, keepdims=False)
+        if snap is not None:
+            snap_b, snap_s, snap_v = snap
+            det2 = tuple(
+                jnp.stack([
+                    jax.lax.dynamic_index_in_dim(a, t, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(a, tb, 0, keepdims=False),
+                ])
+                for a in (snap_b, snap_s, snap_v)
+            )  # each (2, N, ...)
 
         # Both directions' lane state stacked to (2, A, ...): every NCC op
         # (pooling matmuls, correlation convs) runs ONCE with a 2A batch —
@@ -261,6 +329,16 @@ def track_batch(
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive2 & ok, alive2)
         new_box = jnp.where((track_now & ok)[..., None], new_box, box)
+        if snap is not None:
+            db, dsc, dv = det2
+            snapped, _ = jax.vmap(  # over the 2 directions
+                lambda bxs, b_, s_, v_: jax.vmap(  # over the A lanes
+                    lambda bx: snap_to_dets(bx, b_, s_, v_, snap_iou, snap_weight)
+                )(bxs)
+            )(new_box, db, dsc, dv)
+            new_box = jnp.where(
+                (track_now & ok)[..., None], snapped, new_box
+            )
         conf_out = jnp.where(started, 1.0, peak)
         emit_alive = jnp.where(started, True, new_alive)
         return (
@@ -344,6 +422,24 @@ def track_from_det(
     cand_t, cand_boxes, cand_scores = _candidate_dets(
         det_proto, frame_index, opts.anchor_thresh
     )
+    snap = None
+    if opts.snap_weight > 0.0 and len(cand_t):
+        # per-frame padded arrays of the anchor-candidate det set (the same
+        # set the fused engine snaps to: post-MGP dets with best score >=
+        # anchor_thresh). Padded to an 8-bucket to bound recompiles.
+        counts = np.bincount(cand_t, minlength=T)
+        npad = max(8, int(-(-counts.max() // 8) * 8))
+        sb = np.zeros((T, npad, 4), np.float32)
+        ss = np.zeros((T, npad), np.float32)
+        sv = np.zeros((T, npad), bool)
+        fill = np.zeros(T, np.int32)
+        for i in range(len(cand_t)):
+            t, j = int(cand_t[i]), int(fill[cand_t[i]])
+            sb[t, j] = cand_boxes[i]
+            ss[t, j] = cand_scores[i]
+            sv[t, j] = True
+            fill[t] += 1
+        snap = (jnp.asarray(sb), jnp.asarray(ss), jnp.asarray(sv))
     covered = np.zeros(len(cand_t), dtype=bool)
     all_boxes, all_conf, all_alive, all_anchor = [], [], [], []
     while len(all_boxes) < opts.max_tracks and not covered.all():
@@ -377,6 +473,9 @@ def track_from_det(
             jnp.asarray(np.asarray(cand_t)[sel]),
             jnp.asarray(cand_boxes[sel]),
             opts.conf_thresh,
+            snap=snap,
+            snap_iou=opts.snap_iou,
+            snap_weight=opts.snap_weight,
         )
         boxes, conf, alive = np.asarray(boxes), np.asarray(conf), np.asarray(alive)
         for k, i in enumerate(picked):
