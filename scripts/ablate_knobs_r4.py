@@ -1,0 +1,87 @@
+"""Round-4 knob ablation on the hard-tier yardstick (VERDICT r3 item 4).
+
+Runs the staged pipeline CLI over /tmp/dshard (hard tier, seed 500, 10
+videos) with the R4 quality config (bg_decay 0.7, boost mean) and sweeps
+the two new knobs — tracker detection snapping (--snap_weight) and the
+tubelet-statistic length prior (--stat_floor) — in both the full pipeline
+and the no-seq-NMS regime the round-3 verdict targeted. Prints one JSON
+line per config.
+
+Provenance: /tmp/dshard + /tmp/ck_hard per RESULTS.md "Round-4 yardstick";
+run ON THE CHIP (one TPU process at a time):
+    python scripts/ablate_knobs_r4.py [--configs name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+DATA = "/tmp/dshard"
+BASE = [
+    "--detector_weights", "/tmp/ck_hard", "--model", "small",
+    "--num_classes", "6", "--max_rois", "48",
+    "--bg_decay", "0.7", "--boost", "mean", "--eval",
+]
+NO_LINK = ["--stages", "detect,mgp,track,rescore"]
+
+CONFIGS = {
+    # full pipeline
+    "base": [],
+    "snap05": ["--snap_weight", "0.5"],
+    "snap075": ["--snap_weight", "0.75"],
+    "snap05_iou04": ["--snap_weight", "0.5", "--snap_iou", "0.4"],
+    "floor3": ["--stat_floor", "3"],
+    "floor5": ["--stat_floor", "5"],
+    "snap05_floor3": ["--snap_weight", "0.5", "--stat_floor", "3"],
+    # no-seq-NMS regime (rescore must stand on its own)
+    "nolink_base": NO_LINK,
+    "nolink_floor3": NO_LINK + ["--stat_floor", "3"],
+    "nolink_floor5": NO_LINK + ["--stat_floor", "5"],
+    "nolink_snap05": NO_LINK + ["--snap_weight", "0.5"],
+}
+
+
+def run_one(name: str, extra: list) -> dict:
+    work = f"/tmp/abl_{name}"
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "vdetlib_tpu", "pipeline", DATA, work] + BASE + extra,
+        capture_output=True, text=True, timeout=3600,
+    )
+    out = proc.stdout + proc.stderr
+    m = re.search(r"mAP = ([\d.]+) over", out)
+    row = {
+        "config": name,
+        "mAP": float(m.group(1)) if m else None,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    if proc.returncode != 0 or not m:
+        row["error"] = out[-800:]
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=None,
+                    help="comma list (default: all, in table order)")
+    args = ap.parse_args()
+    names = args.configs.split(",") if args.configs else list(CONFIGS)
+    assert os.path.isdir(DATA) and os.path.isdir("/tmp/ck_hard"), \
+        "yardstick artifacts missing — see RESULTS.md Round-4 yardstick"
+    for name in names:
+        run_one(name, CONFIGS[name])
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 M = 2048  # B=32 chunks x R=64 rois (bench.py shape)
 P, C, H = 7, 512, 1024  # roi_pool, backbone channels, head hidden (base)
 K = 31
-CHAIN_LO, CHAIN_HI = 4, 16
-REPS = 3
+CHAIN_LO, CHAIN_HI = 8, 64
+REPS = 5
 BM = 256  # Pallas M tile
 
 
@@ -151,11 +151,16 @@ def bench_variant(name, fn, pooled, params):
 
     lo, hi = make(CHAIN_LO), make(CHAIN_HI)
     float(lo(pooled)), float(hi(pooled))  # compile + warm
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter(); float(lo(pooled)); t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(hi(pooled)); t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (CHAIN_HI - CHAIN_LO))
+
+    def timed(fn):  # min over reps per chain, THEN difference (noise-robust)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(fn(pooled))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = (timed(hi) - timed(lo)) / (CHAIN_HI - CHAIN_LO)
     gflop = 2 * M * (P * P * C * H + H * H + H * K * 5) / 1e9
     print(json.dumps({
         "variant": name, "ms": round(best * 1e3, 3),

@@ -106,6 +106,42 @@ def roi_align(
     return jax.vmap(one)(wy, wx)
 
 
+class _PooledDense(nn.Module):
+    """First head layer as an einsum over the UNFLATTENED pooled tensor.
+
+    ``reshape (..., P, P, C) -> (..., P²C)`` before a Dense forces a physical
+    relayout on TPU — (P, C) = (7, 512) is a tile-unaligned minor block, so
+    XLA rewrites the whole activation tensor before the MXU sees it. The
+    einsum form contracts over (p, q, c) directly with the kernel viewed as
+    (P, P, C, H): measured 0.88 -> 0.59 ms for the head segment at the bench
+    shape (63% -> 93% of bf16 peak; scripts/probe_head.py, RESULTS.md round
+    4 — a fused Pallas variant measured SLOWER, 1.03 ms, because it needs
+    the same relayout as a (P², M, C) transpose on the way in).
+
+    Param shapes/names match ``nn.Dense`` exactly ((P²C, H) kernel, (H,)
+    bias, lecun_normal fan-in P²C), so checkpoints are interchangeable with
+    the reshape+Dense formulation; outputs differ only by bf16 contraction
+    order (<=0.5% — same class as a backend change).
+    """
+
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):  # x: (..., P, P, C)
+        p, q, c = x.shape[-3:]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p * q * c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        kr = kernel.reshape(p, q, c, self.features).astype(self.dtype)
+        y = jnp.einsum(
+            "...pqc,pqch->...h", x.astype(self.dtype), kr,
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
 class RCNNHead(nn.Module):
     """Pooled ROI features → (class scores, per-class bbox deltas)."""
 
@@ -117,9 +153,10 @@ class RCNNHead(nn.Module):
     def __call__(self, roi_feats):
         """roi_feats: (..., P, P, C) → scores (..., K), deltas (..., K, 4)."""
         x = roi_feats.astype(self.dtype)
-        x = x.reshape(x.shape[:-3] + (-1,))
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = nn.relu(
+            _PooledDense(self.hidden, dtype=self.dtype, name="Dense_0")(x)
+        )
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="Dense_1")(x))
         scores = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls")(
             x.astype(jnp.float32)
         )
