@@ -61,18 +61,25 @@ def test_fixpoint_matches_oracle(rng, thresh):
     assert got == want
 
 
+@pytest.mark.parametrize("variant", ["v2", "adj2d"])
 @pytest.mark.parametrize("b,n", [(1, 16), (8, 64), (13, 64), (5, 100), (3, 128)])
-def test_pallas_v2_fixpoint_matches_xla(rng, b, n):
-    """The packed-lane fixpoint kernel (production TPU path) vs the XLA
-    fixpoint — exact keep-set equality including score ties and padding."""
+def test_pallas_fixpoint_matches_xla(rng, b, n, variant):
+    """The packed-lane fixpoint kernel (production TPU path: adj2d; v2 kept
+    selectable) vs the XLA fixpoint — exact keep-set equality including
+    score ties and padding."""
     boxes, scores, valid = _batch(rng, b, n, ties=True)
-    kp = np.asarray(nms_pallas_fixpoint(boxes, scores, valid, 0.3, interpret=True))
+    kp = np.asarray(
+        nms_pallas_fixpoint(
+            boxes, scores, valid, 0.3, interpret=True, variant=variant
+        )
+    )
     kx = np.asarray(batched_nms(boxes, scores, valid, 0.3))
     np.testing.assert_array_equal(kp, kx)
 
 
+@pytest.mark.parametrize("variant", ["v2", "adj2d"])
 @pytest.mark.parametrize("thresh", [0.1, 0.5])
-def test_pallas_v2_fixpoint_matches_oracle(rng, thresh):
+def test_pallas_fixpoint_matches_oracle(rng, thresh, variant):
     n = 64
     boxes = random_boxes(rng, n)
     scores = (np.round(rng.uniform(0.01, 1, n) * 8) / 8).astype(np.float32)
@@ -84,6 +91,7 @@ def test_pallas_v2_fixpoint_matches_oracle(rng, thresh):
         jnp.ones((1, n), bool),
         thresh,
         interpret=True,
+        variant=variant,
     )
     got = set(np.nonzero(np.asarray(keep)[0])[0].tolist())
     assert got == want

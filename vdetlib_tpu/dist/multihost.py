@@ -65,6 +65,16 @@ def init_multihost(
         jax.process_index(), jax.process_count(),
         len(jax.devices()), len(jax.local_devices()),
     )
+    # Establish the cross-process collective context NOW, while every
+    # process is synchronized from the init barrier. The backend builds it
+    # lazily at the first collective with a ~30 s peer-connect deadline
+    # (Gloo on CPU) — deferring it to the post-sweep allreduce_metrics means
+    # processes whose SHARDS take unequal time must still reach that first
+    # collective within 30 s of each other, which a skewed sweep violates
+    # (measured: a starved 2-process CPU pair died exactly there). After
+    # this warmup the context is cached and later collectives tolerate any
+    # skew up to the coordination-service timeout.
+    allreduce_metrics({"_init_warmup": 0.0})
     return True
 
 

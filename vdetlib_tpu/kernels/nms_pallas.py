@@ -34,6 +34,7 @@ from vdetlib_tpu.kernels.nms import NEG_INF
 
 BLOCK_B = 8  # problems per grid step = VPU sublane count for f32
 BLOCK_R = 16  # packed rows per grid step in the v2 fixpoint kernel
+BLOCK_R_2D = 32  # packed rows per grid step in the v3 flattened variant
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,6 +101,77 @@ def _fixpoint_kernel(
     keep_ref[:] = keep
 
 
+def _fixpoint2d_kernel(
+    x1_ref, y1_ref, x2_ref, y2_ref, s_ref, valid_ref, grp_ref, keep_ref,
+    *, thresh, offset, max_iters, block_r,
+):
+    """v3 probe: the fixpoint adjacency built/consumed as a 2D-flattened
+    (block_r·128, 128) array instead of v2's (block_r, 128, 128).
+
+    Motivation (ROADMAP / RESULTS.md round-2): the 3D build is
+    materialization-bound — ~4× off the naive VPU estimate — because the
+    ``v[:, :, None]`` suppressee broadcasts relayout lane data into sublanes
+    per slab. Here every plane stays in its native (sublane, lane) layout:
+    flat row k = j·block_r + r (suppressor j = copy index of a
+    ``pltpu.repeat``, suppressee i = lane), suppressor scalars come from a
+    one-hot lane reduce, and the Jacobi reduction over suppressors is a
+    leading-dim reshape-split + sum — all probe-verified lowerings
+    (scripts/probe_adj_lowering.py).
+    """
+    n = x1_ref.shape[1]
+    x1, y1, x2, y2 = x1_ref[:], y1_ref[:], x2_ref[:], y2_ref[:]
+    s, validf = s_ref[:], valid_ref[:]
+    grp = grp_ref[:].astype(jnp.float32)  # ids < 2^24: exact in f32
+
+    rep = lambda v: pltpu.repeat(v, n, axis=0)  # [k, i] = v[k % block_r, i]
+    flat = (block_r * n, n)
+    kflat = jax.lax.broadcasted_iota(jnp.int32, flat, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, flat, 1)
+    jidx = kflat // block_r  # suppressor index j of flat row k
+    onehot = (lane == jidx).astype(jnp.float32)
+
+    def pick(rv):  # suppressor-j scalar per flat row, (block_r·n, 1)
+        return jnp.sum(rv * onehot, axis=1, keepdims=True)
+
+    X1, Y1, X2, Y2 = rep(x1), rep(y1), rep(x2), rep(y2)
+    jx1, jy1, jx2, jy2 = pick(X1), pick(Y1), pick(X2), pick(Y2)
+    iw = jnp.maximum(jnp.minimum(X2, jx2) - jnp.maximum(X1, jx1) + offset, 0.0)
+    ih = jnp.maximum(jnp.minimum(Y2, jy2) - jnp.maximum(Y1, jy1) + offset, 0.0)
+    inter = iw * ih
+    area_i = (X2 - X1 + offset) * (Y2 - Y1 + offset)
+    area_j = (jx2 - jx1 + offset) * (jy2 - jy1 + offset)
+    union = area_i + area_j - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)
+
+    S, G, V = rep(s), rep(grp), rep(validf)
+    js, jg, jv = pick(S), pick(G), pick(V)
+    # j precedes i in greedy visit order (same relation as v2).
+    prec = (js > S) | ((js == S) & (jidx < lane))
+    m = (
+        (iou > thresh) & prec & (jv > 0) & (jg == G)
+    ).astype(jnp.float32)  # [k = j·block_r + r, i]
+
+    def step(keep):
+        w = pick(rep(keep))  # w[k] = keep[r, j]
+        contrib = (m * w).reshape(n, block_r, n)  # [j, r, i] leading split
+        suppressed = jnp.sum(contrib, axis=0) > 0.5  # (block_r, n)
+        return validf * (1.0 - suppressed.astype(jnp.float32))
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        new = step(step(step(step(keep))))
+        return new, keep, it + 4
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (validf, validf - 1.0, jnp.int32(0))
+    )
+    keep_ref[:] = keep
+
+
 def _pack_width(n: int) -> int:
     """Smallest divisor of 128 that holds an n-box problem."""
     for d in (8, 16, 32, 64, 128):
@@ -108,7 +180,9 @@ def _pack_width(n: int) -> int:
     raise ValueError(f"fixpoint kernel packs at most 128 boxes, got {n}")
 
 
-@functools.partial(jax.jit, static_argnames=("thresh", "offset", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "offset", "interpret", "variant")
+)
 def nms_pallas_fixpoint(
     boxes: jax.Array,
     scores: jax.Array,
@@ -116,8 +190,9 @@ def nms_pallas_fixpoint(
     thresh: float,
     offset: float = LEGACY_OFFSET,
     interpret: bool = False,
+    variant: str = "adj2d",
 ) -> jax.Array:
-    """Sort-free greedy NMS, Pallas TPU kernel (v2) — the production path.
+    """Sort-free greedy NMS, Pallas TPU kernel — the production path.
 
     Exact keep-set parity with kernels/nms.py::nms_unsorted_fixpoint (and the
     numpy oracle): same precedence relation, same strict-> threshold, same
@@ -126,12 +201,18 @@ def nms_pallas_fixpoint(
     O(B·N²) per Jacobi iteration to O(B·N) total.
 
     boxes: (B, N, 4) f32; scores/valid: (B, N); N ≤ 128 → keep (B, N) bool.
+    The default ``variant="adj2d"`` (v3) builds the adjacency 2D-flattened
+    with every plane in native (sublane, lane) layout — measured 233 vs 166
+    Mboxes/s for the v2 broadcast build at the bench NMS shape
+    (scripts/probe_adj2d.py, chip). ``variant="v2"`` keeps the original
+    (block_r, 128, 128) kernel selectable.
     """
     B, N = scores.shape
+    block_r = BLOCK_R if variant == "v2" else BLOCK_R_2D
     n_pad = _pack_width(N)
     pack = 128 // n_pad
     b2 = _round_up(max(B, 1), pack) // pack
-    b2_pad = _round_up(b2, BLOCK_R)
+    b2_pad = _round_up(b2, block_r)
     Bp = b2_pad * pack
 
     def plane(v, fill=0.0):
@@ -146,17 +227,26 @@ def nms_pallas_fixpoint(
         jnp.arange(Bp, dtype=jnp.int32)[:, None], (Bp, n_pad)
     ).reshape(b2_pad, 128)
 
-    kernel = functools.partial(
-        _fixpoint_kernel,
-        thresh=float(thresh),
-        offset=float(offset),
-        max_iters=n_pad,
-    )
-    spec = pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if variant == "v2":
+        kernel = functools.partial(
+            _fixpoint_kernel,
+            thresh=float(thresh),
+            offset=float(offset),
+            max_iters=n_pad,
+        )
+    else:
+        kernel = functools.partial(
+            _fixpoint2d_kernel,
+            thresh=float(thresh),
+            offset=float(offset),
+            max_iters=n_pad,
+            block_r=block_r,
+        )
+    spec = pl.BlockSpec((block_r, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     keep = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b2_pad, 128), jnp.float32),
-        grid=(b2_pad // BLOCK_R,),
+        grid=(b2_pad // block_r,),
         in_specs=[spec] * 6 + [spec],
         out_specs=spec,
         interpret=interpret,
@@ -322,8 +412,8 @@ def batched_nms_pallas(
     """Drop-in for kernels.nms.batched_nms with the Pallas backend.
 
     boxes: (..., N, 4); scores/valid: (..., N) → keep: (..., N) bool.
-    Dispatches to the v2 packed fixpoint kernel (N ≤ 128); larger problems use
-    the v1 greedy-loop kernel.
+    Dispatches to the packed fixpoint kernel (N ≤ 128, adj2d variant);
+    larger problems use the v1 greedy-loop kernel.
     """
     lead = scores.shape[:-1]
     n = scores.shape[-1]
