@@ -47,6 +47,28 @@ CONFIGS = {
     "nolink_floor3": NO_LINK + ["--stat_floor", "3"],
     "nolink_floor5": NO_LINK + ["--stat_floor", "5"],
     "nolink_snap05": NO_LINK + ["--snap_weight", "0.5"],
+    # tracker coverage/localization sweep (track-attribution probe direction:
+    # 4 unseeded objects cost 2.1 mAP; localization quality costs 3.3 —
+    # RESULTS.md "Track-error attribution")
+    "mt24": ["--max_tracks", "24"],
+    "mt32": ["--max_tracks", "32"],
+    "anchor02": ["--anchor_thresh", "0.2"],
+    "mt32_anchor02": ["--max_tracks", "32", "--anchor_thresh", "0.2"],
+    "scales3": ["--track_scales", "3"],
+    "conf03": ["--track_conf", "0.3"],
+    "conf07": ["--track_conf", "0.7"],
+    # composites with the hard-tier-trained tracker (/tmp/trk_hard,
+    # train_tracker --tier hard --steps 600)
+    "mt32_trained": ["--max_tracks", "32", "--tracker_weights", "/tmp/trk_hard"],
+    "mt32_trained_s3": [
+        "--max_tracks", "32", "--tracker_weights", "/tmp/trk_hard",
+        "--track_scales", "3",
+    ],
+    "trained": ["--tracker_weights", "/tmp/trk_hard"],
+    "nolink_mt32": NO_LINK + ["--max_tracks", "32"],
+    "nolink_mt32_trained": NO_LINK + [
+        "--max_tracks", "32", "--tracker_weights", "/tmp/trk_hard",
+    ],
 }
 
 
