@@ -59,6 +59,15 @@ log = get_logger("stream")
 
 @dataclass(frozen=True)
 class StreamOptions:
+    # "fused": the whole per-chunk flow (detect → NMS → MGP → NMS → features
+    # → slot advance → greedy seeding → backward re-tracking) compiles into
+    # ONE jitted program with device-resident carried state and a single
+    # packed host fetch — one dispatch per chunk instead of ~7 + one per
+    # seed + per-array transfers. Exact output parity with "host"
+    # (tests/test_stream.py::test_fused_engine_matches_host); built because
+    # the measured host-loop latency was dispatch-floor-bound (RESULTS.md
+    # "Streaming latency on chip": ~35 ms/frame at every chunk size).
+    engine: str = "fused"  # "fused" | "host"
     chunk: int = 32  # frames per device dispatch
     max_rois: int = 64
     num_classes: int = 31
@@ -199,6 +208,231 @@ def _mgp_chunk(
     return m_boxes, m_scores, m_valid
 
 
+def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
+    """Build the fused one-dispatch-per-chunk program (engine="fused").
+
+    Returns ``(step, unpack)``: ``step(det_params, trk_params, frames, rois,
+    tc_valid, halo_frame, carry) -> (carry', packed)`` is jitted;
+    ``unpack(np.asarray(packed))`` yields the host-output dict. The carry
+    (slot templates/boxes/alive, previous chunk's last-frame det state, the
+    previous chunk's tracker features, the next MGP halo frame) never leaves
+    the device; all host outputs travel in ONE flat f32 buffer so a chunk
+    costs one dispatch + one transfer on high-latency links.
+
+    Semantics are bit-identical to the host loop in :func:`stream_video`:
+    the greedy seeding scan replicates the host's stable-sort walk (argmax
+    ties = lowest flat index = (frame asc, slot asc)), coverage and clash
+    checks use the same strict-> IoU tests, and free slots are claimed in
+    ascending index order exactly like ``free.pop(0)``.
+    """
+    from vdetlib_tpu.geometry.boxes import pairwise_iou
+    from vdetlib_tpu.kernels.nms import batched_nms
+
+    A, R, C = opts.track_slots, opts.max_rois, opts.num_classes
+    Tc = opts.chunk
+    N = 3 * R if opts.mgp else R
+    Tw = opts.chunk  # retained prev-chunk window length
+
+    out_spec = [
+        ("out_boxes", (Tc, N, 4)),
+        ("out_scores", (Tc, C - 1, N)),
+        ("out_keep", (Tc, C - 1, N)),
+        ("tb", (A, Tc, 4)),
+        ("tc", (A, Tc)),
+        ("ta", (A, Tc)),
+        ("seed_slot", (A,)),
+        ("seed_ti", (A,)),
+        ("seed_box", (A, 4)),
+        ("seed_score", (A,)),
+        ("seed_ok", (A,)),
+        ("bb", (A, 2 * Tc, 4)),
+        ("balive", (A, 2 * Tc)),
+    ]
+
+    def unpack(flat: np.ndarray) -> dict:
+        out, off = {}, 0
+        for name, shape in out_spec:
+            size = int(np.prod(shape))
+            out[name] = flat[off : off + size].reshape(shape)
+            off += size
+        return out
+
+    def fn(det_params, trk_params, frames, rois, tc_valid, halo_frame, carry):
+        (slot_templates, slot_boxes, slot_alive,
+         prev_rois, prev_scores, prev_keep, prev_feats, has_prev) = carry
+
+        # --- detection + NMS (host loop step 1) ---
+        probs, boxes = _detect_step(det_model, det_params, frames, rois, True)
+        cls_scores = jnp.swapaxes(probs[:, :, 1:], 1, 2)  # (Tc, C-1, R)
+        cls_boxes = jnp.swapaxes(boxes[:, :, 1:, :], 1, 2)
+        keep = batched_nms(
+            cls_boxes, cls_scores, cls_scores > 0.01, opts.nms_thresh
+        )
+
+        # --- motion-guided propagation (one-frame halo) ---
+        if opts.mgp:
+            frames_ext = jnp.concatenate([halo_frame[None], frames], axis=0)
+            m_boxes, m_scores, m_valid = _mgp_chunk(
+                frames_ext, rois, cls_scores, keep,
+                prev_rois, prev_scores, prev_keep, opts.mgp_decay,
+                preset=opts.flow_preset,
+            )
+            m_keep = batched_nms(
+                jnp.broadcast_to(
+                    m_boxes[:, None], (Tc, C - 1) + m_boxes.shape[1:]
+                ),
+                m_scores,
+                m_valid & (m_scores > 0),
+                opts.nms_thresh,
+            )
+            out_boxes, out_scores, out_keep = m_boxes, m_scores, m_keep
+        else:
+            out_boxes, out_scores, out_keep = rois, cls_scores, keep
+
+        # --- tracking: advance carried slots ---
+        feats = tracker_features(trk_model, trk_params, frames)
+        tb, tc_, ta, box_end, alive_end = track_chunk(
+            trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+            opts.conf_thresh,
+        )
+
+        # --- device greedy seeding (host loop's stable-sort walk) ---
+        best_scores = jnp.max(
+            jnp.where(
+                jnp.swapaxes(out_keep, 1, 2),
+                jnp.swapaxes(out_scores, 1, 2),
+                0.0,
+            ),
+            axis=2,
+        )  # (Tc, N)
+        iou_atn = jax.vmap(
+            lambda boxes_k: jax.vmap(pairwise_iou)(
+                boxes_k[:, None], out_boxes
+            )[:, 0]
+        )(tb)  # (A, Tc, N)
+        cov0 = jnp.any(
+            (iou_atn > opts.cover_thresh) & ta[:, :, None], axis=0
+        )  # (Tc, N)
+
+        F = Tc * N
+        b_flat = out_boxes.reshape(F, 4)
+        s_flat = best_scores.reshape(F)
+        t_flat = jnp.arange(F, dtype=jnp.int32) // N
+        slot_ar = jnp.arange(F)
+        avail0 = (~cov0.reshape(F)) & (t_flat < tc_valid)
+        free = ~alive_end  # (A,) — free list BEFORE seeding, like the host
+        n_free = jnp.sum(free, dtype=jnp.int32)
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # (A,)
+        arange_a = jnp.arange(A, dtype=jnp.int32)
+
+        # dummy-row-extended slot state for masked scatters
+        templates_x = jnp.concatenate(
+            [slot_templates, jnp.zeros_like(slot_templates[:1])], axis=0
+        )
+        sboxes_x = jnp.concatenate([box_end, jnp.zeros_like(box_end[:1])], 0)
+        salive_x = jnp.concatenate(
+            [alive_end, jnp.zeros_like(alive_end[:1])], 0
+        )
+
+        def seed_step(carry_s, _):
+            avail, count, templates, sboxes, salive = carry_s
+            s = jnp.where(avail, s_flat, -jnp.inf)
+            i = jnp.argmax(s)  # ties: first max = (frame asc, slot asc)
+            ok = (s[i] >= opts.seed_thresh) & (count < n_free)
+            cand = b_flat[i]
+            ti = t_flat[i]
+            slot = jnp.sum(jnp.where(free & (free_rank == count), arange_a, 0))
+            slot = jnp.where(ok, slot, A)  # dummy row when not seeding
+            template = extract_template(feats[ti], cand, trk_cfg)
+            templates = templates.at[slot].set(template)
+            sboxes = sboxes.at[slot].set(cand)
+            salive = salive.at[slot].set(True)
+            clash = (t_flat == ti) & (
+                pairwise_iou(cand[None], b_flat)[0] > opts.cover_thresh
+            )
+            avail = jnp.where(ok, avail & ~clash & (slot_ar != i), avail)
+            count = count + ok.astype(jnp.int32)
+            rec = (
+                jnp.where(ok, slot, -1).astype(jnp.int32),
+                ti,
+                cand,
+                s[i],
+                ok,
+            )
+            return (avail, count, templates, sboxes, salive), rec
+
+        (_, _, templates_x, sboxes_x, salive_x), recs = jax.lax.scan(
+            seed_step,
+            (avail0, jnp.int32(0), templates_x, sboxes_x, salive_x),
+            None,
+            length=A,
+        )
+        seed_slot, seed_ti, seed_box, seed_score, seed_ok = recs
+        new_templates = templates_x[:A]
+        new_boxes = sboxes_x[:A]
+        new_alive = salive_x[:A]
+
+        # --- backward re-tracking of fresh seeds over the window ---
+        if opts.backtrack:
+            window = jnp.concatenate(
+                [
+                    jnp.where(has_prev, prev_feats, jnp.zeros_like(feats)),
+                    feats,
+                ],
+                axis=0,
+            )
+            anchor_ts_x = jnp.zeros((A + 1,), jnp.int32)
+            anchor_boxes_x = jnp.zeros((A + 1, 4), jnp.float32)
+            lane_on_x = jnp.zeros((A + 1,), bool)
+            scat = jnp.where(seed_ok, seed_slot, A)
+            anchor_ts_x = anchor_ts_x.at[scat].set(Tw + seed_ti)
+            anchor_boxes_x = anchor_boxes_x.at[scat].set(seed_box)
+            lane_on_x = lane_on_x.at[scat].set(seed_ok)
+            bb, balive = backtrack_seeds(
+                trk_cfg, window, anchor_ts_x[:A], anchor_boxes_x[:A],
+                new_templates, lane_on_x[:A], opts.conf_thresh,
+            )
+        else:
+            bb = jnp.zeros((A, 2 * Tc, 4), jnp.float32)
+            balive = jnp.zeros((A, 2 * Tc), bool)
+
+        # --- next-chunk carry (device-resident) ---
+        last = tc_valid - 1
+        carry_out = (
+            new_templates,
+            new_boxes,
+            new_alive,
+            rois[last],
+            cls_scores[last],
+            keep[last],
+            feats,
+            jnp.asarray(True),
+        )
+        halo_out = frames[last]
+
+        outs = dict(
+            out_boxes=out_boxes,
+            out_scores=out_scores,
+            out_keep=out_keep,
+            tb=tb,
+            tc=tc_,
+            ta=ta,
+            seed_slot=seed_slot,
+            seed_ti=seed_ti,
+            seed_box=seed_box,
+            seed_score=seed_score,
+            seed_ok=seed_ok,
+            bb=bb,
+            balive=balive,
+        )
+        packed = jnp.concatenate(
+            [outs[name].astype(jnp.float32).reshape(-1) for name, _ in out_spec]
+        )
+        return carry_out, halo_out, packed
+
+    return jax.jit(fn), unpack
+
+
 def stream_video(
     det_model,
     det_params,
@@ -221,6 +455,11 @@ def stream_video(
       3R when opts.mgp else R), seq-NMS scores + path ids, and per-slot
       track segments.
     """
+    if opts.engine == "fused":
+        return _stream_video_fused(
+            det_model, det_params, trk_model, trk_params, trk_cfg,
+            frame_chunks, rois_per_frame, opts,
+        )
     metrics = StageMetrics("stream")
     A = opts.track_slots
     R = opts.max_rois
