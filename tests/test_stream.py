@@ -174,6 +174,79 @@ def test_backward_retracking_extends_seeds(models):
         assert min(ts) >= 0 and max(ts) < T
 
 
+def test_fused_engine_matches_host(models):
+    """engine="fused" (one dispatch/chunk) output-matches engine="host".
+
+    Fixture-precondition pattern (CLAUDE.md "Parity-test blind spots"): the
+    run must actually exercise the regimes where the engines could diverge —
+    seeds in multiple chunks, tracks crossing chunk boundaries, backtracked
+    window entries, and a short final chunk — and each is asserted below so
+    fixture drift can't silently restore a blind spot.
+    """
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+    T = 36  # NOT a multiple of chunk → exercises the padded short final chunk
+    sv, rois = _make_inputs(T, seed=85, max_speed=2.0)
+
+    def run(engine):
+        def chunks():
+            for s in range(0, T, 8):
+                yield sv.frames[s : s + 8]
+
+        opts = StreamOptions(
+            engine=engine, chunk=8, max_rois=R, num_classes=C, track_slots=6,
+            seed_thresh=0.2, conf_thresh=0.3, max_paths=20,
+        )
+        return stream_video(
+            det_model, det_params, trk_model, trk_params, trk_cfg,
+            chunks(), rois, opts,
+        )
+
+    host = run("host")
+    fused = run("fused")
+
+    # --- fixture preconditions: the case is hard enough to be meaningful ---
+    assert T % 8 != 0  # short final chunk
+    # the anchor entry carries the detector seed score (max in its segment)
+    seed_chunks = {
+        max(seg, key=lambda e: e[2])[0] // 8 for seg in host["tracks"].values()
+    }
+    assert len(seed_chunks) >= 2, seed_chunks  # seeding in multiple chunks
+    spans = [
+        (min(t for t, _, _ in seg), max(t for t, _, _ in seg))
+        for seg in host["tracks"].values()
+    ]
+    assert any(lo // 8 != hi // 8 for lo, hi in spans), spans  # crosses chunks
+    assert any(
+        s == 0.0 for seg in host["tracks"].values() for _, _, s in seg
+    )  # backtracked entries present
+
+    # --- output parity: BIT-EXACT. Both engines execute the same compiled
+    # subprograms for every tracker-affecting computation (shared
+    # _extract_templates_core / track_chunk / backtrack_seeds; the fused
+    # program pins them with optimization_barriers). Exactness is the only
+    # meaningful contract here: the NCC rollout is chaotic (a 1e-6 template
+    # diff measured 6 px of box drift by frame 30), so any tolerance either
+    # passes at 0 or fails at pixels. ---
+    assert fused["num_frames"] == host["num_frames"] == T
+    np.testing.assert_array_equal(fused["keep"], host["keep"])
+    np.testing.assert_array_equal(fused["boxes"], host["boxes"])
+    np.testing.assert_array_equal(fused["scores"], host["scores"])
+    np.testing.assert_array_equal(fused["path_ids"], host["path_ids"])
+    np.testing.assert_array_equal(fused["seq_scores"], host["seq_scores"])
+    assert set(fused["tracks"]) == set(host["tracks"])
+    for tid, hseg in host["tracks"].items():
+        fseg = fused["tracks"][tid]
+        assert [t for t, _, _ in fseg] == [t for t, _, _ in hseg], tid
+        np.testing.assert_array_equal(
+            np.stack([b for _, b, _ in fseg]),
+            np.stack([b for _, b, _ in hseg]),
+        )
+        np.testing.assert_array_equal(
+            np.array([s for _, _, s in fseg]),
+            np.array([s for _, _, s in hseg]),
+        )
+
+
 def test_stream_to_protos_wire_contract(models):
     """stream_to_protos emits the batch link stage's wire format faithfully:
     det entries are exactly the positive seq-NMS scores, tubelets mirror

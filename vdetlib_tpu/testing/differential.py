@@ -545,14 +545,14 @@ def run_stream_agreement_case(models: dict, seed: int, chunk: int = 8) -> dict:
     rois[..., 2] = np.maximum(rois[..., 2], rois[..., 0] + 1.0)
     rois[..., 3] = np.maximum(rois[..., 3], rois[..., 1] + 1.0)
 
-    def run(ch):
+    def run(ch, engine="host"):
         def chunks():
             for s in range(0, T, ch):
                 yield sv.frames[s : s + ch]
 
         opts = StreamOptions(
-            chunk=ch, max_rois=Rr, num_classes=C, track_slots=6,
-            seed_thresh=0.2, conf_thresh=0.2, max_paths=20,
+            engine=engine, chunk=ch, max_rois=Rr, num_classes=C,
+            track_slots=6, seed_thresh=0.2, conf_thresh=0.2, max_paths=20,
         )
         return stream_video(
             models["det_model"], models["det_params"], models["trk_model"],
@@ -566,8 +566,44 @@ def run_stream_agreement_case(models: dict, seed: int, chunk: int = 8) -> dict:
     s_live = small["seq_scores"] > 0
     union = int((b_live | s_live).sum())
     live_iou = float((b_live & s_live).sum() / union) if union else 1.0
-    ok = keep_agree > 0.95 and live_iou > 0.5
+
+    # fused-vs-host engine parity at the same chunking: BIT-EXACT — both
+    # engines execute the same compiled subprograms for every
+    # tracker-affecting computation, and the NCC rollout's chaos means any
+    # nonzero diff grows to pixels, so exactness is the only stable contract
+    # (tests/test_stream.py::test_fused_engine_matches_host).
+    fused = run(chunk, engine="fused")
+    engines_exact = bool(
+        (fused["keep"] == small["keep"]).all()
+        and (fused["boxes"] == small["boxes"]).all()
+        and (fused["scores"] == small["scores"]).all()
+        and (fused["path_ids"] == small["path_ids"]).all()
+        and (fused["seq_scores"] == small["seq_scores"]).all()
+    )
+    tracks_ok = set(fused["tracks"]) == set(small["tracks"])
+    seg_box_maxdiff = 0.0
+    if tracks_ok:
+        for tid, hseg in small["tracks"].items():
+            fseg = fused["tracks"][tid]
+            if [t for t, _, _ in fseg] != [t for t, _, _ in hseg]:
+                tracks_ok = False
+                break
+            if hseg:
+                seg_box_maxdiff = max(
+                    seg_box_maxdiff,
+                    float(
+                        np.abs(
+                            np.stack([b for _, b, _ in fseg])
+                            - np.stack([b for _, b, _ in hseg])
+                        ).max()
+                    ),
+                )
+    engine_parity = engines_exact and tracks_ok and seg_box_maxdiff == 0.0
+
+    ok = keep_agree > 0.95 and live_iou > 0.5 and engine_parity
     return dict(
         ok=ok, seed=seed, chunk=chunk, tier="hard" if tier_hard else "easy",
         keep_agree=keep_agree, live_iou=live_iou, union=union,
+        engine_parity=engine_parity, engines_exact=engines_exact,
+        seg_box_maxdiff=seg_box_maxdiff,
     )

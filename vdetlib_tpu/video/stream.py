@@ -87,6 +87,24 @@ class StreamOptions:
     backtrack: bool = True
 
 
+def _extract_templates_core(feats, seed_ti, seed_boxes, cfg):
+    """Gather seed frames + batched template extraction (A lanes).
+
+    ONE definition used by both engines: inlined (barriered) in the fused
+    program and jitted standalone for the host loop — the two compile
+    bit-identically, whereas eager per-seed extraction rounds differently
+    at the last ulp, which the chaotic NCC rollout amplifies to pixels
+    (scripts/debug_fused_drift2.py attribution).
+    """
+    sel = feats[seed_ti]
+    return jax.vmap(lambda f, b: extract_template(f, b, cfg))(sel, seed_boxes)
+
+
+_extract_templates_batch = jax.jit(
+    _extract_templates_core, static_argnames=("cfg",)
+)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "conf_thresh"))
 def track_chunk(cfg, feats, templates, boxes0, alive0, conf_thresh: float):
     """Advance all track slots over one chunk of features.
@@ -212,7 +230,7 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
     """Build the fused one-dispatch-per-chunk program (engine="fused").
 
     Returns ``(step, unpack)``: ``step(det_params, trk_params, frames, rois,
-    tc_valid, halo_frame, carry) -> (carry', packed)`` is jitted;
+    tc_valid, halo_frame, carry) -> (carry', halo', packed)`` is jitted;
     ``unpack(np.asarray(packed))`` yields the host-output dict. The carry
     (slot templates/boxes/alive, previous chunk's last-frame det state, the
     previous chunk's tracker features, the next MGP halo frame) never leaves
@@ -290,10 +308,19 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             out_boxes, out_scores, out_keep = rois, cls_scores, keep
 
         # --- tracking: advance carried slots ---
-        feats = tracker_features(trk_model, trk_params, frames)
-        tb, tc_, ta, box_end, alive_end = track_chunk(
-            trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
-            opts.conf_thresh,
+        # optimization_barriers pin the tracker subcomputations to the same
+        # fusion boundaries the host engine's standalone jits have: without
+        # them XLA fuses feats/NCC math with other consumers, and last-ulp
+        # bf16 pooling differences amplify chaotically through the
+        # sequential scan (measured: up to 6 px box drift by 30 frames).
+        feats = jax.lax.optimization_barrier(
+            tracker_features(trk_model, trk_params, frames)
+        )
+        tb, tc_, ta, box_end, alive_end = jax.lax.optimization_barrier(
+            track_chunk(
+                trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+                opts.conf_thresh,
+            )
         )
 
         # --- device greedy seeding (host loop's stable-sort walk) ---
@@ -335,7 +362,7 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         )
 
         def seed_step(carry_s, _):
-            avail, count, templates, sboxes, salive = carry_s
+            avail, count, sboxes, salive = carry_s
             s = jnp.where(avail, s_flat, -jnp.inf)
             i = jnp.argmax(s)  # ties: first max = (frame asc, slot asc)
             ok = (s[i] >= opts.seed_thresh) & (count < n_free)
@@ -343,8 +370,6 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             ti = t_flat[i]
             slot = jnp.sum(jnp.where(free & (free_rank == count), arange_a, 0))
             slot = jnp.where(ok, slot, A)  # dummy row when not seeding
-            template = extract_template(feats[ti], cand, trk_cfg)
-            templates = templates.at[slot].set(template)
             sboxes = sboxes.at[slot].set(cand)
             salive = salive.at[slot].set(True)
             clash = (t_flat == ti) & (
@@ -359,15 +384,30 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
                 s[i],
                 ok,
             )
-            return (avail, count, templates, sboxes, salive), rec
+            return (avail, count, sboxes, salive), rec
 
-        (_, _, templates_x, sboxes_x, salive_x), recs = jax.lax.scan(
+        (_, _, sboxes_x, salive_x), recs = jax.lax.scan(
             seed_step,
-            (avail0, jnp.int32(0), templates_x, sboxes_x, salive_x),
+            (avail0, jnp.int32(0), sboxes_x, salive_x),
             None,
             length=A,
         )
         seed_slot, seed_ti, seed_box, seed_score, seed_ok = recs
+
+        # template extraction hoisted OUT of the seeding scan (the scan never
+        # reads templates): inside the scan body XLA fuses the feats gather
+        # with scan-body neighbors and the resulting last-ulp differences
+        # amplify chaotically through the next chunks' NCC rollout (measured:
+        # 1e-6 template diff → 6 px box drift by 30 frames). The SAME
+        # _extract_templates_core (barriered here, jitted standalone in the
+        # host engine) compiles bit-identically in both contexts.
+        new_tmpl = jax.lax.optimization_barrier(
+            _extract_templates_core(feats, seed_ti, seed_box, trk_cfg)
+        )
+        scat = jnp.where(seed_ok, seed_slot, A)
+        templates_x = templates_x.at[scat].set(
+            jnp.where(seed_ok[:, None, None, None], new_tmpl, 0.0)
+        )
         new_templates = templates_x[:A]
         new_boxes = sboxes_x[:A]
         new_alive = salive_x[:A]
@@ -388,9 +428,11 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             anchor_ts_x = anchor_ts_x.at[scat].set(Tw + seed_ti)
             anchor_boxes_x = anchor_boxes_x.at[scat].set(seed_box)
             lane_on_x = lane_on_x.at[scat].set(seed_ok)
-            bb, balive = backtrack_seeds(
-                trk_cfg, window, anchor_ts_x[:A], anchor_boxes_x[:A],
-                new_templates, lane_on_x[:A], opts.conf_thresh,
+            bb, balive = jax.lax.optimization_barrier(
+                backtrack_seeds(
+                    trk_cfg, window, anchor_ts_x[:A], anchor_boxes_x[:A],
+                    new_templates, lane_on_x[:A], opts.conf_thresh,
+                )
             )
         else:
             bb = jnp.zeros((A, 2 * Tc, 4), jnp.float32)
@@ -582,8 +624,6 @@ def stream_video(
             if covered:
                 continue
             a = free.pop(0)
-            template = extract_template(feats[ti], jnp.asarray(cand), trk_cfg)
-            slot_templates = slot_templates.at[a].set(template)
             slot_boxes = slot_boxes.at[a].set(jnp.asarray(cand))
             slot_alive = slot_alive.at[a].set(True)
             slot_id[a] = next_track_id
@@ -593,6 +633,22 @@ def stream_video(
             seed_lanes.append((a, ti, cand.copy(), next_track_id))
             next_track_id += 1
             seeded.append((ti, ri))
+
+        # batched template extraction for this chunk's seeds, padded to A
+        # lanes — the SAME compiled program as the fused engine's (see
+        # _extract_templates_core; eager per-seed extraction rounds
+        # differently and the NCC rollout amplifies last-ulp diffs to px)
+        if seed_lanes:
+            ti_arr = np.zeros(A, np.int32)
+            bx_arr = np.zeros((A, 4), np.float32)
+            for k, (a, ti, cand, _) in enumerate(seed_lanes):
+                ti_arr[k] = ti
+                bx_arr[k] = cand
+            tmpl = _extract_templates_batch(
+                feats, jnp.asarray(ti_arr), jnp.asarray(bx_arr), trk_cfg
+            )
+            for k, (a, ti, cand, _) in enumerate(seed_lanes):
+                slot_templates = slot_templates.at[a].set(tmpl[k])
 
         # --- backward re-tracking of fresh seeds over the window ---
         if opts.backtrack and seed_lanes:
@@ -635,7 +691,19 @@ def stream_video(
         t_global += Tc
         prev_feats = feats
 
-    # --- global seq-NMS over the collected (small) arrays ---
+    return _finalize_stream(
+        all_boxes, all_scores, all_keep, track_segments, t_global, opts, metrics
+    )
+
+
+def _finalize_stream(
+    all_boxes, all_scores, all_keep, track_segments, t_global, opts, metrics
+):
+    """Global seq-NMS over the collected arrays + result dict.
+
+    Shared tail of both engines so linking/rescoring is one code path —
+    exact, since it needs only boxes and scores, not frames (module doc).
+    """
     boxes_full = np.concatenate(all_boxes, axis=0)  # (T, N, 4)
     scores_full = np.concatenate(all_scores, axis=0)  # (T, C-1, N)
     keep_full = np.concatenate(all_keep, axis=0)
@@ -659,6 +727,122 @@ def stream_video(
         "tracks": track_segments,
         "num_frames": t_global,
     }
+
+
+def _stream_video_fused(
+    det_model,
+    det_params,
+    trk_model,
+    trk_params,
+    trk_cfg,
+    frame_chunks: Iterator[np.ndarray],
+    rois_per_frame,
+    opts: StreamOptions,
+):
+    """Fused streaming engine: ONE dispatch + ONE transfer per chunk.
+
+    Host driver around :func:`make_stream_chunk_fn`: iterates chunks,
+    threads the device-resident carry + MGP halo frame, unpacks the single
+    packed output buffer, and performs the host-only bookkeeping the fused
+    program cannot (global track-id assignment, segment assembly). Output
+    parity with the host loop is locked by
+    tests/test_stream.py::test_fused_engine_matches_host and the
+    randomized differential corpus
+    (testing/differential.py::run_stream_agreement_case).
+    """
+    metrics = StageMetrics("stream")
+    A, R, C = opts.track_slots, opts.max_rois, opts.num_classes
+    P, Cf = trk_cfg.template_pool, trk_cfg.out_features
+    step, unpack = make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts)
+
+    slot_id = -np.ones(A, np.int64)  # global track ids per slot
+    next_track_id = 0
+    all_boxes, all_scores, all_keep = [], [], []
+    track_segments: dict[int, list] = {}
+    t_global = 0
+    carry = None
+    halo = None
+
+    for chunk in frame_chunks:
+        Tc = chunk.shape[0]
+        pad = opts.chunk - Tc
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
+        if callable(rois_per_frame):
+            rois = np.stack(
+                [rois_per_frame(t_global + i) for i in range(opts.chunk)]
+            ).astype(np.float32)
+        else:
+            rois = np.zeros((opts.chunk, R, 4), np.float32)
+            avail = rois_per_frame[t_global : t_global + Tc]
+            rois[: len(avail)] = avail
+        frames_j = jnp.asarray(chunk)
+        if carry is None:
+            feat_s = jax.eval_shape(
+                lambda f: tracker_features(trk_model, trk_params, f), frames_j
+            )
+            carry = (
+                jnp.zeros((A, P, P, Cf), jnp.float32),  # slot templates
+                jnp.zeros((A, 4), jnp.float32),  # slot boxes
+                jnp.zeros((A,), bool),  # slot alive
+                jnp.zeros((R, 4), jnp.float32),  # prev last-frame rois
+                jnp.zeros((C - 1, R), jnp.float32),  # prev last-frame scores
+                jnp.zeros((C - 1, R), bool),  # prev last-frame keep
+                jnp.zeros(feat_s.shape, feat_s.dtype),  # prev chunk features
+                jnp.asarray(False),  # has_prev
+            )
+            halo = frames_j[0]  # host loop: halo = chunk[:1] on first chunk
+        carry, halo, packed = step(
+            det_params, trk_params, frames_j, jnp.asarray(rois),
+            jnp.int32(Tc), halo, carry,
+        )
+        out = unpack(np.asarray(packed))
+
+        # --- carried-slot segments (exactly the host loop's bookkeeping) ---
+        tb, ta, tcs = out["tb"], out["ta"] > 0.5, out["tc"]
+        for a in range(A):
+            if slot_id[a] < 0:
+                continue
+            seg = track_segments.setdefault(int(slot_id[a]), [])
+            for i in range(Tc):
+                if ta[a, i]:
+                    seg.append((t_global + i, tb[a, i], float(tcs[a, i])))
+
+        # --- global track ids for this chunk's seeds, in scan (score) order ---
+        seed_lane_track = {}
+        for k in range(A):
+            if out["seed_ok"][k] <= 0.5:
+                continue
+            a = int(out["seed_slot"][k])
+            ti = int(out["seed_ti"][k])
+            slot_id[a] = next_track_id
+            track_segments[next_track_id] = [
+                (t_global + ti, out["seed_box"][k].copy(),
+                 float(out["seed_score"][k]))
+            ]
+            seed_lane_track[a] = next_track_id
+            next_track_id += 1
+
+        # --- attach backward re-tracked window entries to fresh seeds ---
+        if opts.backtrack and seed_lane_track:
+            Tw = opts.chunk  # retained prev-chunk length
+            for a, tid in seed_lane_track.items():
+                seg = track_segments[tid]
+                for j in range(2 * opts.chunk):
+                    t_abs = (t_global - Tw) + j
+                    if out["balive"][a, j] <= 0.5 or t_abs < 0:
+                        continue
+                    seg.append((t_abs, out["bb"][a, j], 0.0))
+                seg.sort(key=lambda e: e[0])
+
+        all_boxes.append(out["out_boxes"][:Tc])
+        all_scores.append(out["out_scores"][:Tc])
+        all_keep.append(out["out_keep"][:Tc] > 0.5)
+        t_global += Tc
+
+    return _finalize_stream(
+        all_boxes, all_scores, all_keep, track_segments, t_global, opts, metrics
+    )
 
 
 def stream_to_protos(
