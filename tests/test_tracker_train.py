@@ -57,6 +57,71 @@ def test_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_aware_batch_invariants():
+    """The aware sampler's contract (VERDICT r4 item 4): suppression
+    samples are truly evidence-free, match samples have clean anchors, and
+    the batch actually contains hard content (negatives near windows AND
+    at least one suppression sample) — asserted so fixture drift can't
+    hollow out the recipe (CLAUDE.md parity-blind-spot pattern)."""
+    from vdetlib_tpu.data.synth import hard_config
+    from vdetlib_tpu.nn.tracker_train import make_tracker_batch_aware
+
+    cfg = TrackerConfig()
+    videos = [
+        make_video(hard_config(num_frames=24, height=HW[0], width=HW[1], seed=200 + i))
+        for i in range(3)
+    ]
+    rng = np.random.default_rng(0)
+    batch = make_tracker_batch_aware(videos, rng, 64, cfg)
+    sup = np.asarray(batch["suppress"])
+    nv = np.asarray(batch["neg_valid"])
+    ba = np.asarray(batch["boxes_a"])
+    bb = np.asarray(batch["boxes_b"])
+    assert sup.any(), "no suppression samples drawn — tier too easy"
+    assert not sup.all()
+    assert nv.any(axis=1).sum() >= 16, "too few samples carry negatives"
+    # anchors and targets are real boxes
+    assert (ba[:, 2] > ba[:, 0]).all() and (ba[:, 3] > ba[:, 1]).all()
+    assert (bb[:, 2] >= bb[:, 0]).all() and (bb[:, 3] >= bb[:, 1]).all()
+    # padded negative slots are exactly zero (mask-authoritative convention)
+    padded = np.asarray(batch["neg_boxes"])[~nv]
+    assert (padded == 0).all()
+
+
+def test_aware_training_reduces_loss_and_terms():
+    """The aware loss trains: total loss decreases AND the distractor hinge
+    + suppression terms are actually exercised (nonzero early)."""
+    from vdetlib_tpu.data.synth import hard_config
+    from vdetlib_tpu.nn.tracker_train import (
+        TrackerTrainState,
+        make_tracker_batch_aware,
+        tracker_train_step,
+    )
+    import optax
+    import jax
+
+    cfg = TrackerConfig()
+    model, params = init_tracker(cfg, image_hw=HW, seed=0)
+    videos = [
+        make_video(hard_config(num_frames=16, height=HW[0], width=HW[1], seed=60 + i))
+        for i in range(2)
+    ]
+    tx = optax.adamw(1e-3)
+    params = jax.tree.map(jnp.copy, params)
+    state = TrackerTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    losses, hinges, sups = [], [], []
+    for _ in range(15):
+        batch = make_tracker_batch_aware(videos, rng, 8, cfg)
+        state, aux = tracker_train_step(model, cfg, tx, state, batch, recipe="aware")
+        losses.append(float(aux["loss"]))
+        hinges.append(float(aux["hinge"]))
+        sups.append(float(aux["sup"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert max(hinges) > 0.0, "distractor hinge never fired"
+    assert max(sups) > 0.0, "occlusion suppression never fired"
+
+
 def test_trained_multi_scale_beats_single_scale():
     """VERDICT r1 item 6: trained features unlock the multi-scale search.
 

@@ -21,6 +21,10 @@ def main(argv=None) -> int:
     p.add_argument("--scale_rate", type=float, default=0.0,
                    help="per-frame object zoom in the training videos "
                    "(match gen_synth --scale_rate for zooming-object evals)")
+    p.add_argument("--recipe", default="pair", choices=["pair", "aware"],
+                   help="aware: occlusion/distractor-aware sampler + "
+                   "distractor-hinge + occlusion-suppression loss "
+                   "(nn/tracker_train.py::tracker_loss_aware)")
     args = p.parse_args(argv)
 
     from vdetlib_tpu.data.synth import SynthConfig, make_video
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
     ]
     params = train_tracker(
         model, cfg, params, videos,
-        steps=args.steps, batch_size=args.batch_size, lr=args.lr, seed=args.seed,
+        steps=args.steps, batch_size=args.batch_size, lr=args.lr,
+        seed=args.seed, recipe=args.recipe,
     )
     save_params(args.output, params)
     print(f"saved tracker weights to {args.output}")

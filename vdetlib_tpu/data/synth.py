@@ -108,6 +108,12 @@ class SynthVideo:
     # occluder bar or a later-drawn object (hard tier). Training uses it to
     # skip evidence-free labels; eval does NOT (occluded objects count).
     gt_occluded: np.ndarray = None
+    # (D, T, 4) view-space boxes of the flickering distractors + (D, T) bool
+    # on-schedule (hard tier; None on the easy tier). NOT ground truth —
+    # exported so distractor-aware tracker training can mine hard negatives
+    # (nn/tracker_train.py::make_tracker_batch_aware).
+    distractor_boxes: np.ndarray = None
+    distractor_on: np.ndarray = None
 
     def __post_init__(self):
         if not self.frame_ids:
@@ -351,13 +357,23 @@ def _make_video_hard(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
     gt = np.zeros((K, T, 4), np.float32)
     visible = np.zeros((K, T), bool)
     occluded = np.zeros((K, T), np.float32)
+    D = len(dis)
+    dis_boxes = np.zeros((D, T, 4), np.float32)
+    dis_on = np.zeros((D, T), bool)
     for t in range(T):
         canvas = world.copy()
-        for dsz, dp0, dv, dcol, dtex, on in dis:
-            if not on[t]:
-                continue
+        for d, (dsz, dp0, dv, dcol, dtex, on) in enumerate(dis):
             x = _bounce(dp0[0] + dv[0] * t, W - dsz[0])
             y = _bounce(dp0[1] + dv[1] * t, H - dsz[1])
+            # view-space box recorded even when flickered off (the sampler
+            # cares about spatial proximity; `on` carries the schedule)
+            dis_boxes[d, t] = (
+                x - cam[t, 0], y - cam[t, 1],
+                x + dsz[0] - 1 - cam[t, 0], y + dsz[1] - 1 - cam[t, 1],
+            )
+            dis_on[d, t] = bool(on[t])
+            if not on[t]:
+                continue
             _draw_rect(
                 canvas, x + m, y + m, x + dsz[0] - 1 + m, y + dsz[1] - 1 + m,
                 dcol, dtex,
@@ -412,6 +428,7 @@ def _make_video_hard(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
     return SynthVideo(
         config=cfg, frames=frames, gt_boxes=gt, gt_classes=classes,
         video=video, gt_visible=visible, gt_occluded=occluded,
+        distractor_boxes=dis_boxes, distractor_on=dis_on,
     )
 
 

@@ -81,15 +81,126 @@ def tracker_loss(model: TrackerNet, cfg: TrackerConfig, params, batch, logit_sca
     return jnp.sum(ces) / n, {"n_valid": n}
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "tx"), donate_argnums=(3,))
-def tracker_train_step(model, cfg, tx, state: TrackerTrainState, batch):
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "tx", "recipe"), donate_argnums=(3,)
+)
+def tracker_train_step(model, cfg, tx, state: TrackerTrainState, batch, recipe="pair"):
     def loss_fn(p):
+        if recipe == "aware":
+            return tracker_loss_aware(model, cfg, p, batch)
         return tracker_loss(model, cfg, p, batch)
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrackerTrainState(new_params, new_opt, state.step + 1), dict(aux, loss=loss)
+
+
+def tracker_loss_aware(
+    model: TrackerNet,
+    cfg: TrackerConfig,
+    params,
+    batch,
+    logit_scale: float = 10.0,
+    margin: float = 0.2,
+    w_hinge: float = 1.0,
+    w_sup: float = 0.5,
+    sup_level: float = 0.25,
+):
+    """Occlusion/distractor-aware loss (VERDICT r4 item 4).
+
+    Three terms over the NCC response map, matched to the three tracker
+    failure modes the hard-tier attribution probe isolated (RESULTS.md
+    "Track-error attribution"):
+
+    - **CE** at the GT displacement (the original loss) — localization;
+    - **distractor hinge**: the response at the GT bin must exceed the max
+      response over bins lying inside same-scene distractor/other-object
+      boxes by ``margin`` — explicit instance discrimination, the slice
+      where round 4's texture-matching recipe LOST to random features;
+    - **occlusion suppression**: when the object is >70% covered at the
+      target frame (no visual evidence), the max in-window response must
+      stay below ``sup_level`` — trains honest confidence so conf-gated
+      termination doesn't latch the occluder.
+
+    batch adds to the pair fields: neg_boxes (B, M, 4), neg_valid (B, M),
+    suppress (B,) — see :func:`make_tracker_batch_aware`.
+    """
+    xa = batch["frames_a"].astype(jnp.float32) / 255.0 - 0.5
+    xb = batch["frames_b"].astype(jnp.float32) / 255.0 - 0.5
+    fa = model.apply(params, xa)
+    fb = model.apply(params, xb)
+    Q = cfg.search_pool
+    P = cfg.template_pool
+    R = Q - P + 1
+
+    def one(feats_a, feats_b, box_a, box_b, neg_boxes, neg_valid, suppress):
+        resp, target, in_range = response_and_target(
+            feats_a, feats_b, box_a, box_b, cfg
+        )
+        match = in_range & ~suppress
+
+        # --- CE at the GT displacement (match samples only) ---
+        logp = jax.nn.log_softmax((resp * logit_scale).reshape(-1))
+        ce = -jnp.sum(target.reshape(-1) * logp)
+        ce = jnp.where(match, ce, 0.0)
+
+        # --- bin grid → view-space positions (the inverse of the gx/gy
+        # mapping in response_and_target) ---
+        win = search_window(box_a, cfg.search_factor)
+        wx = (win[2] - win[0]) / Q
+        wy = (win[3] - win[1]) / Q
+        cxa = 0.5 * (box_a[0] + box_a[2])
+        cya = 0.5 * (box_a[1] + box_a[3])
+        ys = jax.lax.broadcasted_iota(jnp.float32, (R, R), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (R, R), 1)
+        px = cxa + (xs - (R - 1) / 2.0) * wx  # (R, R) implied box centers
+        py = cya + (ys - (R - 1) / 2.0) * wy
+
+        # --- distractor hinge ---
+        inside = (
+            (px[None] >= neg_boxes[:, None, None, 0])
+            & (px[None] <= neg_boxes[:, None, None, 2])
+            & (py[None] >= neg_boxes[:, None, None, 1])
+            & (py[None] <= neg_boxes[:, None, None, 3])
+        )  # (M, R, R)
+        neg_mask = jnp.any(inside & neg_valid[:, None, None], axis=0)
+        # keep a 2.5-bin guard around the GT peak out of the negative set
+        gx = (0.5 * (box_b[0] + box_b[2]) - cxa) / wx + (R - 1) / 2.0
+        gy = (0.5 * (box_b[1] + box_b[3]) - cya) / wy + (R - 1) / 2.0
+        near_gt = ((xs - gx) ** 2 + (ys - gy) ** 2) < 2.5**2
+        neg_mask = neg_mask & ~near_gt
+        has_neg = jnp.any(neg_mask)
+        neg_max = jnp.max(jnp.where(neg_mask, resp, -1.0))
+        r_gt = jnp.sum(target * resp)  # Gaussian-weighted GT response
+        hinge = jnp.maximum(margin + neg_max - r_gt, 0.0)
+        hinge = jnp.where(match & has_neg, hinge, 0.0)
+
+        # --- occlusion suppression ---
+        sup = jnp.maximum(jnp.max(resp) - sup_level, 0.0)
+        sup = jnp.where(suppress, sup, 0.0)
+
+        return ce, hinge, sup, match, match & has_neg, suppress
+
+    ces, hinges, sups, m_ce, m_h, m_s = jax.vmap(one)(
+        fa, fb, batch["boxes_a"], batch["boxes_b"],
+        batch["neg_boxes"], batch["neg_valid"], batch["suppress"],
+    )
+
+    def _mean(v, m):
+        return jnp.sum(v) / jnp.maximum(jnp.sum(m), 1)
+
+    loss = (
+        _mean(ces, m_ce)
+        + w_hinge * _mean(hinges, m_h)
+        + w_sup * _mean(sups, m_s)
+    )
+    return loss, {
+        "n_valid": jnp.sum(m_ce),
+        "ce": _mean(ces, m_ce),
+        "hinge": _mean(hinges, m_h),
+        "sup": _mean(sups, m_s),
+    }
 
 
 def make_tracker_batch(videos, rng: np.random.Generator, batch_size: int, max_dt: int = 3):
@@ -113,6 +224,159 @@ def make_tracker_batch(videos, rng: np.random.Generator, batch_size: int, max_dt
     }
 
 
+def make_tracker_batch_aware(
+    videos,
+    rng: np.random.Generator,
+    batch_size: int,
+    cfg: TrackerConfig,
+    max_dt: int = 4,
+    n_neg: int = 8,
+    hard_frac: float = 0.6,
+    sup_frac: float = 0.15,
+):
+    """Occlusion/distractor-aware pair sampler (VERDICT r4 item 4).
+
+    Differences from :func:`make_tracker_batch`, matched to the hard tier's
+    failure physics (data/synth.py::hard_config):
+
+    - ~``hard_frac`` of match samples are HARD: the path t→t+dt crosses an
+      occlusion event (gt_occluded > 0.2 somewhere on it) or a
+      distractor/other object lies inside the anchor's search window at the
+      target frame — the regimes where round 4's recipe latched distractors;
+    - ~``sup_frac`` are SUPPRESSION samples: the object is >70% covered at
+      the target frame, training the response to stay LOW (honest
+      confidence under occlusion);
+    - every sample carries up to ``n_neg`` negative boxes (visible other
+      objects + flicker-ON distractors at the target frame) for the
+      distractor hinge;
+    - templates are only taken from mostly-clean anchors
+      (gt_occluded ≤ 0.3), matching how the pipeline seeds from detections.
+    """
+    fa, fb, ba, bb = [], [], [], []
+    neg_b = np.zeros((batch_size, n_neg, 4), np.float32)
+    neg_v = np.zeros((batch_size, n_neg), bool)
+    sup = np.zeros((batch_size,), bool)
+
+    # suppression events are sampled EVENT-FIRST (occluded target frame →
+    # walk back to a clean anchor): rejection sampling almost never hits
+    # them because ~86% of hard-tier frames carry some occlusion, so clean
+    # anchors and >70%-covered targets rarely co-occur in a random (t, dt)
+    sup_events = []  # (video index, k, b)
+    for vi, sv in enumerate(videos):
+        ks, bs = np.where((sv.gt_occluded > 0.7) & sv.gt_visible)
+        sup_events += [(vi, int(k), int(b)) for k, b in zip(ks, bs) if b > 0]
+
+    def draw(video_pool):
+        sv = video_pool[int(rng.integers(0, len(video_pool)))]
+        K, T = sv.gt_boxes.shape[:2]
+        k = int(rng.integers(0, K))
+        dt = int(rng.integers(1, max_dt + 1))
+        t = int(rng.integers(0, T - dt))
+        return sv, k, t, t + dt
+
+    def anchor_ok(sv, k, t):
+        return bool(sv.gt_visible[k, t]) and float(sv.gt_occluded[k, t]) <= 0.3
+
+    def negs_at(sv, k, b):
+        """Negative boxes near the anchor at the target frame."""
+        out = []
+        K = sv.gt_boxes.shape[0]
+        for j in range(K):
+            if j != k and sv.gt_visible[j, b]:
+                out.append(sv.gt_boxes[j, b])
+        if sv.distractor_boxes is not None:
+            for d in range(sv.distractor_boxes.shape[0]):
+                if sv.distractor_on[d, b]:
+                    out.append(sv.distractor_boxes[d, b])
+        return out
+
+    # The hinge only sees bins the response map can express: implied box
+    # centers span ± (R-1)/2 · wx around the anchor center (wx = window/Q
+    # — see tracker_loss_aware's px/py grid). Filter negatives to THAT
+    # span, not the full search window, or most carried negatives contain
+    # no bin center and the hinge silently never fires.
+    Q = cfg.search_pool
+    Rbins = Q - cfg.template_pool + 1
+
+    def near_window(box_a, nb):
+        cx = 0.5 * (box_a[0] + box_a[2])
+        cy = 0.5 * (box_a[1] + box_a[3])
+        hw = (Rbins - 1) / 2.0 * cfg.search_factor * (box_a[2] - box_a[0]) / Q
+        hh = (Rbins - 1) / 2.0 * cfg.search_factor * (box_a[3] - box_a[1]) / Q
+        return not (
+            nb[2] < cx - hw or nb[0] > cx + hw
+            or nb[3] < cy - hh or nb[1] > cy + hh
+        )
+
+    for i in range(batch_size):
+        want_sup = bool(sup_events) and rng.uniform() < sup_frac
+        want_hard = rng.uniform() < hard_frac
+        want_neg = rng.uniform() < 0.5
+        chosen = None
+        if want_sup:
+            for _ in range(24):
+                vi, k, b = sup_events[int(rng.integers(0, len(sup_events)))]
+                sv = videos[vi]
+                lo = max(0, b - max(max_dt, 6))
+                ts = [t for t in range(lo, b) if anchor_ok(sv, k, t)]
+                if ts:
+                    chosen = (sv, k, ts[int(rng.integers(0, len(ts)))], b, True)
+                    break
+        for _ in range(0 if chosen else 24):
+            sv, k, t, b = draw(videos)
+            if not anchor_ok(sv, k, t) or not sv.gt_visible[k, b]:
+                continue
+            occ_b = float(sv.gt_occluded[k, b])
+            if occ_b > 0.7:
+                continue  # evidence-free target for a match sample
+            if want_hard:
+                # alternate the hard criterion: half the hard draws demand
+                # an in-span negative (distractor hinge material), half an
+                # occlusion crossing — occlusion alone is so common on this
+                # tier that an OR lets it crowd the hinge out entirely
+                if want_neg:
+                    if any(
+                        near_window(sv.gt_boxes[k, t], nb)
+                        for nb in negs_at(sv, k, b)
+                    ):
+                        chosen = (sv, k, t, b, False)
+                        break
+                elif float(sv.gt_occluded[k, t : b + 1].max()) > 0.2:
+                    chosen = (sv, k, t, b, False)
+                    break
+                continue
+            chosen = (sv, k, t, b, False)
+            break
+        if chosen is None:  # fall back to any valid clean pair
+            while True:
+                sv, k, t, b = draw(videos)
+                if anchor_ok(sv, k, t) and sv.gt_visible[k, b] and float(
+                    sv.gt_occluded[k, b]
+                ) <= 0.7:
+                    chosen = (sv, k, t, b, False)
+                    break
+        sv, k, t, b, is_sup = chosen
+        fa.append(sv.frames[t])
+        fb.append(sv.frames[b])
+        ba.append(sv.gt_boxes[k, t])
+        bb.append(sv.gt_boxes[k, b])
+        sup[i] = is_sup
+        negs = [nb for nb in negs_at(sv, k, b) if near_window(sv.gt_boxes[k, t], nb)]
+        for m, nb in enumerate(negs[:n_neg]):
+            neg_b[i, m] = nb
+            neg_v[i, m] = True
+
+    return {
+        "frames_a": jnp.asarray(np.stack(fa)),
+        "frames_b": jnp.asarray(np.stack(fb)),
+        "boxes_a": jnp.asarray(np.stack(ba)),
+        "boxes_b": jnp.asarray(np.stack(bb)),
+        "neg_boxes": jnp.asarray(neg_b),
+        "neg_valid": jnp.asarray(neg_v),
+        "suppress": jnp.asarray(sup),
+    }
+
+
 def train_tracker(
     model: TrackerNet,
     cfg: TrackerConfig,
@@ -123,6 +387,7 @@ def train_tracker(
     lr: float = 1e-3,
     seed: int = 0,
     log_every: int = 50,
+    recipe: str = "pair",
 ):
     from vdetlib_tpu.utils.log import get_logger
 
@@ -131,8 +396,18 @@ def train_tracker(
     state = TrackerTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     rng = np.random.default_rng(seed)
     for step in range(steps):
-        batch = make_tracker_batch(videos, rng, batch_size)
-        state, aux = tracker_train_step(model, cfg, tx, state, batch)
+        if recipe == "aware":
+            batch = make_tracker_batch_aware(videos, rng, batch_size, cfg)
+        else:
+            batch = make_tracker_batch(videos, rng, batch_size)
+        state, aux = tracker_train_step(model, cfg, tx, state, batch, recipe=recipe)
         if step % log_every == 0 or step == steps - 1:
-            log.info("step %d loss=%.4f", step, float(aux["loss"]))
+            if recipe == "aware":
+                log.info(
+                    "step %d loss=%.4f ce=%.4f hinge=%.4f sup=%.4f",
+                    step, float(aux["loss"]), float(aux["ce"]),
+                    float(aux["hinge"]), float(aux["sup"]),
+                )
+            else:
+                log.info("step %d loss=%.4f", step, float(aux["loss"]))
     return state.params
