@@ -165,11 +165,16 @@ def tracker_loss_aware(
             & (py[None] <= neg_boxes[:, None, None, 3])
         )  # (M, R, R)
         neg_mask = jnp.any(inside & neg_valid[:, None, None], axis=0)
-        # keep a 2.5-bin guard around the GT peak out of the negative set
-        gx = (0.5 * (box_b[0] + box_b[2]) - cxa) / wx + (R - 1) / 2.0
-        gy = (0.5 * (box_b[1] + box_b[3]) - cya) / wy + (R - 1) / 2.0
-        near_gt = ((xs - gx) ** 2 + (ys - gy) ** 2) < 2.5**2
-        neg_mask = neg_mask & ~near_gt
+        # exclude bins inside the GT box itself: during a crossing the
+        # distractor overlaps the object, and response there is legitimately
+        # high. A radial guard around the peak is WRONG here — it swallows
+        # exactly the crossing-overlap bins the hinge exists for (measured:
+        # the hinge never fired with a 2.5-bin radial guard).
+        in_gt = (
+            (px >= box_b[0]) & (px <= box_b[2])
+            & (py >= box_b[1]) & (py <= box_b[3])
+        )
+        neg_mask = neg_mask & ~in_gt
         has_neg = jnp.any(neg_mask)
         neg_max = jnp.max(jnp.where(neg_mask, resp, -1.0))
         r_gt = jnp.sum(target * resp)  # Gaussian-weighted GT response
@@ -318,9 +323,17 @@ def make_tracker_batch_aware(
                 vi, k, b = sup_events[int(rng.integers(0, len(sup_events)))]
                 sv = videos[vi]
                 lo = max(0, b - max(max_dt, 6))
-                ts = [t for t in range(lo, b) if anchor_ok(sv, k, t)]
-                if ts:
-                    chosen = (sv, k, ts[int(rng.integers(0, len(ts)))], b, True)
+                # least-occluded visible anchor in the window, required to be
+                # meaningfully cleaner than the target — an absolute ≤0.3
+                # cleanliness bar finds NOTHING in dense-occlusion draws
+                # (measured 0/56 feasible events on 16-frame hard videos)
+                cand_ts = [t for t in range(lo, b) if sv.gt_visible[k, t]]
+                if not cand_ts:
+                    continue
+                t = min(cand_ts, key=lambda t_: float(sv.gt_occluded[k, t_]))
+                occ_t = float(sv.gt_occluded[k, t])
+                if occ_t <= 0.5 and occ_t <= float(sv.gt_occluded[k, b]) - 0.2:
+                    chosen = (sv, k, t, b, True)
                     break
         for _ in range(0 if chosen else 24):
             sv, k, t, b = draw(videos)
