@@ -71,6 +71,12 @@ def track_fn(c):
     return track_batch(trk_model, trk_cfg, feats, ats, abx, 0.5)
 timeit("track_batch 1 round (A=8)", track_fn)
 
+def track_fn_s2(c):
+    ats = jnp.asarray([10, 50, 90, 130, 170, 210, 240, 250])
+    abx = jnp.asarray(rois_np[0, :A]) + c*0
+    return track_batch(trk_model, trk_cfg, feats, ats, abx, 0.5, frame_stride=2)
+timeit("track_batch 1 round (A=8, stride=2)", track_fn_s2)
+
 # ---- non-NN stage glue (historically the unattributed remainder) ----
 from vdetlib_tpu.kernels.nms import nms_grouped
 from vdetlib_tpu.kernels.seq_nms import seq_nms_batch

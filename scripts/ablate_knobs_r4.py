@@ -69,6 +69,16 @@ CONFIGS = {
     "nolink_mt32_trained": NO_LINK + [
         "--max_tracks", "32", "--tracker_weights", "/tmp/trk_hard",
     ],
+    # round 5: occlusion/distractor-aware tracker recipe (/tmp/trk_aware,
+    # train_tracker --recipe aware --tier hard --steps 600) — VERDICT r4
+    # item 4, the +3.3 localization slice
+    "aware": ["--tracker_weights", "/tmp/trk_aware"],
+    "mt32_aware": ["--max_tracks", "32", "--tracker_weights", "/tmp/trk_aware"],
+    "aware_s3": ["--tracker_weights", "/tmp/trk_aware", "--track_scales", "3"],
+    # round 5: tracker frame stride (VERDICT r4 item 6) — quality side of
+    # the ~10 ms/video scan-step lever; speed side in bench_components.py
+    "stride2": ["--track_stride", "2"],
+    "stride2_mt32": ["--track_stride", "2", "--max_tracks", "32"],
 }
 
 

@@ -15,6 +15,7 @@ from vdetlib_tpu.utils.common import iou
 from vdetlib_tpu.video.track import (
     TrackOptions,
     init_tracker,
+    snap_to_dets,
     track_batch,
     track_from_det,
     tracker_features,
@@ -49,6 +50,34 @@ def test_tracker_follows_gt(setup):
             if alive[k, t]
         ]
         assert np.mean(ious) > 0.35, (k, ious)
+
+
+def test_frame_stride_tracks_close_to_stride1(setup):
+    """frame_stride=2 (VERDICT r4 item 6): half the scan steps, interpolated
+    skipped frames. Contract: anchor frame re-asserted exactly; per-frame
+    boxes stay IoU-close to the stride-1 tracks on smooth motion; odd
+    (interpolated) frames are alive only when both sampled neighbors are."""
+    sv, cfg, model, params, feats = setup
+    K = sv.gt_boxes.shape[0]
+    anchor_t = jnp.asarray([T // 2] * K)
+    anchor_boxes = jnp.asarray(sv.gt_boxes[:, T // 2])
+    b1, c1, a1 = track_batch(model, cfg, feats, anchor_t, anchor_boxes, 0.3)
+    b2, c2, a2 = track_batch(
+        model, cfg, feats, anchor_t, anchor_boxes, 0.3, frame_stride=2
+    )
+    b1, a1, b2, a2 = map(np.asarray, (b1, a1, b2, a2))
+    c2 = np.asarray(c2)
+    for k in range(K):
+        # anchor frame identity (original frame, not the snapped one)
+        np.testing.assert_array_equal(b2[k, T // 2], np.asarray(anchor_boxes)[k])
+        assert a2[k, T // 2] and c2[k, T // 2] == 1.0
+        both = a1[k] & a2[k]
+        assert both.sum() >= T * 0.5, (k, a1[k], a2[k])
+        ious = [
+            iou(b1[k, t : t + 1], b2[k, t : t + 1])[0, 0]
+            for t in range(T) if both[t]
+        ]
+        assert np.mean(ious) > 0.6, (k, ious)
 
 
 def test_folded_scan_matches_two_scan_form(setup):
@@ -256,6 +285,40 @@ def test_snap_permutation_invariance(setup):
     b0, _, a0 = track_batch(model, cfg, feats, anchor_ts, anchor_boxes, 0.3)
     live = np.asarray(a1) & np.asarray(a0)
     assert np.abs(np.asarray(b1) - np.asarray(b0))[live].max() > 0.5
+
+
+def test_snap_residual_tie_targets_a_real_detection():
+    """Residual ties (equal score AND equal IoU) must resolve to an ACTUAL
+    detection via the lexicographic coordinate tie-break (ADVICE r4) — never
+    a coordinate-wise hybrid of the tied boxes — and stay slot-permutation-
+    invariant."""
+    box = jnp.asarray([50.0, 50.0, 90.0, 90.0])
+    # pure 4px translations of a SQUARE box ⇒ identical IoU with it. Case 1:
+    # right-shift vs down-shift — the old coordinate-wise-max hybrid
+    # [54,54,94,94] is NEITHER det; lexicographic x1 picks the right-shift.
+    # Case 2: down vs up — x1 ties, the y1 key must decide (down-shift).
+    cases = [
+        ([4.0, 0.0, 4.0, 0.0], [0.0, 4.0, 0.0, 4.0]),
+        ([0.0, 4.0, 0.0, 4.0], [0.0, -4.0, 0.0, -4.0]),
+    ]
+    for win_sh, lose_sh in cases:
+        det_b = jnp.stack(
+            [box + jnp.asarray(lose_sh), box + jnp.asarray(win_sh), box * 0.0]
+        )
+        det_s = jnp.asarray([0.8, 0.8, 0.9])
+        det_v = jnp.asarray([True, True, False])
+        snapped, any_c = snap_to_dets(box, det_b, det_s, det_v, 0.3, 1.0)
+        assert bool(any_c)
+        # snap_weight=1.0 ⇒ snapped IS the target, a real detection
+        np.testing.assert_array_equal(
+            np.asarray(snapped), np.asarray(box + jnp.asarray(win_sh))
+        )
+        perm_snapped, _ = snap_to_dets(
+            box, det_b[::-1], det_s[::-1], det_v[::-1], 0.3, 1.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(snapped), np.asarray(perm_snapped)
+        )
 
 
 def test_snap_pulls_toward_detections(setup):

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
                    choices=["accurate", "fast", "fastest"],
                    help="MGP optical-flow resolution/speed tradeoff")
     p.add_argument("--max_tracks", type=int, default=16)
+    p.add_argument("--track_stride", type=int, default=1,
+                   help="NCC scan advances every s-th frame, interpolating "
+                   "the rest (video/track.py::track_batch frame_stride)")
     p.add_argument(
         "--track_scales", type=int, default=1,
         help="scale-adaptive tracking: NCC scales per step (1 = off; 3 with "
@@ -167,6 +170,7 @@ def main(argv=None) -> int:
             max_tracks=args.max_tracks, image_hw=hw,
             anchor_thresh=args.anchor_thresh, conf_thresh=args.track_conf,
             snap_weight=args.snap_weight, snap_iou=args.snap_iou,
+            frame_stride=args.track_stride,
         ),
         tracker_cfg=trk_cfg,
         rescore=RescoreOptions(

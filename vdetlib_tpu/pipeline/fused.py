@@ -73,6 +73,7 @@ class FusedConfig:
     cover_thresh: float = 0.5  # TrackOptions.cover_thresh
     snap_weight: float = 0.0  # TrackOptions.snap_weight (0 = off)
     snap_iou: float = 0.5  # TrackOptions.snap_iou
+    track_stride: int = 1  # TrackOptions.frame_stride
     # rescore
     rescore_match: float = 0.5  # RescoreOptions.match_thresh
     top_ratio: float = 0.5
@@ -398,6 +399,7 @@ def _greedy_track_rounds(
         tb, tc, ta = track_batch(
             trk_model, trk_cfg, feats, anchor_ts, anchor_boxes, cfg.track_conf,
             snap=snap, snap_iou=cfg.snap_iou, snap_weight=cfg.snap_weight,
+            frame_stride=cfg.track_stride,
         )
         ta = ta & valids[:, None] & frame_ok[None, :]
         # K-slot scatter in pick order (invalid lanes land in the dummy row)

@@ -74,6 +74,7 @@ def fused_config_from_pipeline(cfg) -> FusedConfig:
         cover_thresh=cfg.track.cover_thresh,
         snap_weight=cfg.track.snap_weight,
         snap_iou=cfg.track.snap_iou,
+        track_stride=cfg.track.frame_stride,
         rescore_match=cfg.rescore.match_thresh,
         top_ratio=cfg.rescore.top_ratio,
         boost=cfg.rescore.boost,

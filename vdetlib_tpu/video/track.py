@@ -64,6 +64,10 @@ class TrackOptions:
     # track identity/drift. 0.0 = off.
     snap_weight: float = 0.0
     snap_iou: float = 0.5
+    # advance the NCC scan every s-th frame only, interpolating the skipped
+    # frames (track_batch docstring). The scan is launch-overhead-bound
+    # (RESULTS.md MFU table: ncc_scan at 2.2% of peak), so steps ∝ 1/s.
+    frame_stride: int = 1
 
 
 def init_tracker(cfg: TrackerConfig = TrackerConfig(), image_hw=(240, 320), seed: int = 0):
@@ -150,7 +154,9 @@ def snap_to_dets(box, det_boxes, det_scores, det_valid, snap_iou, snap_weight):
 
     Selection: among valid dets with IoU(box, det) > snap_iou, the one with
     the highest score; score ties break by higher IoU, and any residual tie
-    by coordinate-wise max. Every reduction is a masked max, so the result is
+    lexicographically over the box coordinates (x1, y1, x2, y2 in turn), so
+    the target is always a REAL detection, never a coordinate-wise hybrid of
+    tied dets (ADVICE r4). Every reduction is a masked max, so the result is
     PERMUTATION-INVARIANT in the det slot axis — the staged and fused engines
     pack the same det set in different slot orders and must snap identically
     (the parity contract of tests/test_fused_parity.py).
@@ -169,6 +175,11 @@ def snap_to_dets(box, det_boxes, det_scores, det_valid, snap_iou, snap_weight):
     c2 = cand & (det_scores == s_max)
     i_max = jnp.max(jnp.where(c2, iou, neg))
     c3 = c2 & (iou == i_max)
+    # residual tie-break: successive coordinate maxima narrow c3 to dets that
+    # agree on EVERY coordinate, so the final masked max IS one of them
+    for d in range(4):
+        d_max = jnp.max(jnp.where(c3, det_boxes[:, d], neg))
+        c3 = c3 & (det_boxes[:, d] == d_max)
     target = jnp.max(jnp.where(c3[:, None], det_boxes, neg), axis=0)  # (4,)
     snapped = jnp.where(
         any_c, (1.0 - snap_weight) * box + snap_weight * target, box
@@ -232,7 +243,8 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "cfg", "conf_thresh", "unroll")
+    jax.jit,
+    static_argnames=("model", "cfg", "conf_thresh", "unroll", "frame_stride"),
 )
 def track_batch(
     model: TrackerNet,
@@ -245,6 +257,7 @@ def track_batch(
     snap=None,  # optional (det_boxes (T,N,4), det_scores (T,N), valid (T,N))
     snap_iou=0.5,
     snap_weight=0.5,
+    frame_stride: int = 1,
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
@@ -256,9 +269,51 @@ def track_batch(
     identical to the two-scan form up to compile-time reassociation of the
     bf16 pooling (parity-tested: same alive decisions, <0.05px box drift).
 
+    ``frame_stride`` > 1 (VERDICT r4 item 6): the scan advances on every
+    s-th frame only (the scan is launch-overhead-bound, so steps ∝ 1/s);
+    skipped frames get linearly interpolated boxes/conf between their
+    sampled neighbors (alive iff both neighbors are). Anchors snap to the
+    nearest sampled frame for the scan; the anchor's ORIGINAL frame is
+    re-asserted (anchor box, conf 1.0) in the upsampled output, matching
+    the stride-1 contract. stride=1 is byte-identical to the legacy path.
+
     Returns boxes (A, T, 4), conf (A, T), alive (A, T); the anchor frame is
     alive with conf 1.0; dead frames carry the last live box (masked out).
     """
+    if frame_stride > 1:
+        s = int(frame_stride)
+        T = feats.shape[0]
+        feats_s = feats[::s]
+        Ts = feats_s.shape[0]
+        anchor_ts_s = jnp.clip((anchor_ts + s // 2) // s, 0, Ts - 1)
+        snap_s = None
+        if snap is not None:
+            snap_s = tuple(a[::s] for a in snap)
+        boxes_s, conf_s, alive_s = track_batch(
+            model, cfg, feats_s, anchor_ts_s, anchor_boxes, conf_thresh,
+            unroll=unroll, snap=snap_s, snap_iou=snap_iou,
+            snap_weight=snap_weight, frame_stride=1,
+        )
+        t_full = jnp.arange(T)
+        i0 = t_full // s
+        i1 = jnp.minimum(i0 + 1, Ts - 1)
+        f = ((t_full - i0 * s).astype(jnp.float32) / s)[None, :, None]
+        b0, b1 = boxes_s[:, i0], boxes_s[:, i1]
+        boxes = (1.0 - f) * b0 + f * b1
+        exact = (t_full % s == 0)[None, :]
+        a0, a1 = alive_s[:, i0], alive_s[:, i1]
+        alive = jnp.where(exact, a0, a0 & a1)
+        boxes = jnp.where(exact[..., None], b0, boxes)
+        c0, c1 = conf_s[:, i0], conf_s[:, i1]
+        conf = jnp.where(exact, c0, (1.0 - f[..., 0]) * c0 + f[..., 0] * c1)
+        # re-assert the anchor at its ORIGINAL frame
+        A = anchor_ts.shape[0]
+        lane = jnp.arange(A)
+        boxes = boxes.at[lane, anchor_ts].set(anchor_boxes)
+        conf = conf.at[lane, anchor_ts].set(1.0)
+        alive = alive.at[lane, anchor_ts].set(True)
+        return boxes, conf, alive
+
     T = feats.shape[0]
     templates = jax.vmap(
         lambda at, ab: extract_template(feats[at], ab, cfg)
@@ -476,6 +531,7 @@ def track_from_det(
             snap=snap,
             snap_iou=opts.snap_iou,
             snap_weight=opts.snap_weight,
+            frame_stride=opts.frame_stride,
         )
         boxes, conf, alive = np.asarray(boxes), np.asarray(conf), np.asarray(alive)
         for k, i in enumerate(picked):
