@@ -92,6 +92,44 @@ def test_distractors_change_pixels_and_flicker():
     assert with_d.gt_boxes.shape == without.gt_boxes.shape
 
 
+def test_distractor_fp_injection(hard_video):
+    """distractor_fp_rate (flicker regime, VERDICT r4 item 8): confident
+    false positives ride the ON-windows of pixel distractors, carrying the
+    distractor's mimicked class; rate=0 injects nothing extra."""
+    from vdetlib_tpu.utils.common import iou
+
+    sv = hard_video
+    assert sv.distractor_classes is not None
+    assert sv.distractor_classes.shape[0] == sv.distractor_boxes.shape[0]
+    det0 = det_proto_from_gt(sv, distractor_fp_rate=0.0)
+    det1 = det_proto_from_gt(sv, distractor_fp_rate=1.0)
+    extra = len(det1["detections"]) - len(det0["detections"])
+    n_on = int(sv.distractor_on.sum())
+    assert n_on > 0
+    # same rng consumption at rate 0 and 1 except the emitted dets, so the
+    # count difference is exactly the per-on-window emissions
+    assert extra == n_on, (extra, n_on)
+    # every injected FP (score in the fp range, IoU-anchored to an ON
+    # distractor box at its frame) carries the distractor's class
+    fid_of = {int(f): t for t, f in enumerate(sv.frame_ids)}
+    matched = 0
+    for d in det1["detections"]:
+        t = fid_of[d["frame"]]
+        on = np.where(sv.distractor_on[:, t])[0]
+        if on.size == 0:
+            continue
+        ious = iou(
+            np.asarray([d["bbox"]], np.float32),
+            sv.distractor_boxes[on, t].astype(np.float32),
+        )[0]
+        best = int(on[np.argmax(ious)])
+        if ious.max() > 0.6 and d["scores"][0]["class_index"] == int(
+            sv.distractor_classes[best]
+        ):
+            matched += 1
+    assert matched >= n_on, (matched, n_on)
+
+
 def test_camera_motion_moves_background():
     base = dict(num_frames=10, seed=3, num_occluders=0, num_distractors=0,
                 appearance_drift=0.0, crossing_paths=False, contrast=1.0)

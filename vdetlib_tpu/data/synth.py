@@ -114,6 +114,10 @@ class SynthVideo:
     # (nn/tracker_train.py::make_tracker_batch_aware).
     distractor_boxes: np.ndarray = None
     distractor_on: np.ndarray = None
+    # (D,) int32 — the class whose appearance each distractor mimics (the
+    # class a fooled detector would fire with; det_proto_from_gt's
+    # distractor_fp_rate uses it to emit flicker-regime false positives)
+    distractor_classes: np.ndarray = None
 
     def __post_init__(self):
         if not self.frame_ids:
@@ -341,7 +345,7 @@ def _make_video_hard(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
                 rng.integers(-40, 40, size=(16, 16, 3)) * cfg.contrast
             ).astype(np.int16)
         on = _flicker_schedule(rng, T, cfg.distractor_on, cfg.distractor_off)
-        dis.append((dsz, dp0, dv, dcol, dtex, on))
+        dis.append((dsz, dp0, dv, dcol, dtex, on, dc))
 
     def _cover_frac(box, cover):
         """Fraction of ``box`` (x1,y1,x2,y2 view coords) covered by ``cover``."""
@@ -360,9 +364,10 @@ def _make_video_hard(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
     D = len(dis)
     dis_boxes = np.zeros((D, T, 4), np.float32)
     dis_on = np.zeros((D, T), bool)
+    dis_cls = np.asarray([d[-1] for d in dis], np.int32)
     for t in range(T):
         canvas = world.copy()
-        for d, (dsz, dp0, dv, dcol, dtex, on) in enumerate(dis):
+        for d, (dsz, dp0, dv, dcol, dtex, on, _dc) in enumerate(dis):
             x = _bounce(dp0[0] + dv[0] * t, W - dsz[0])
             y = _bounce(dp0[1] + dv[1] * t, H - dsz[1])
             # view-space box recorded even when flickered off (the sampler
@@ -429,6 +434,7 @@ def _make_video_hard(cfg: SynthConfig, video: str = "synth") -> SynthVideo:
         config=cfg, frames=frames, gt_boxes=gt, gt_classes=classes,
         video=video, gt_visible=visible, gt_occluded=occluded,
         distractor_boxes=dis_boxes, distractor_on=dis_on,
+        distractor_classes=dis_cls,
     )
 
 
@@ -516,6 +522,8 @@ def det_proto_from_gt(
     drop_rate: float = 0.0,
     dropout_windows: int = 0,
     dropout_len: tuple = (3, 8),
+    distractor_fp_rate: float = 0.0,
+    distractor_fp_score: tuple = (0.45, 0.9),
 ) -> dict:
     """A plausible detector output: jittered GT boxes with decaying scores
     plus low-scoring random distractors. Deterministic given the seed.
@@ -523,9 +531,18 @@ def det_proto_from_gt(
     ``drop_rate`` drops per-frame detections i.i.d.; ``dropout_windows``
     instead blinds the oracle for whole windows per object (``dropout_len``
     frame range) — the occlusion-shaped failure mode MGP/tracking bridge.
+    ``distractor_fp_rate`` > 0 (flicker regime, VERDICT r4 item 8): while a
+    class-colored pixel distractor is ON, with this probability emit a
+    HIGH-scoring detection on its box with its mimicked class — the short
+    confident false-positive tracks the stat_floor/min_matched_frac knob
+    family was built to damp. Requires a hard-tier ``sv`` with
+    ``distractor_boxes`` exported.
     """
     cfg = sv.config
     rng = np.random.default_rng(cfg.seed + 2)
+    # FP injection draws from its OWN stream so turning it on/off leaves
+    # the true-positive det set bit-identical (controlled A/Bs)
+    rng_fp = np.random.default_rng(cfg.seed + 3)
     K, T = sv.gt_boxes.shape[:2]
     detections = []
 
@@ -562,6 +579,29 @@ def det_proto_from_gt(
                         "bbox": b,
                         "scores": [
                             {"class": name(ci), "class_index": ci, "score": score}
+                        ],
+                    }
+                )
+        if distractor_fp_rate > 0 and sv.distractor_boxes is not None:
+            for d in range(sv.distractor_boxes.shape[0]):
+                if not sv.distractor_on[d, t]:
+                    continue
+                if rng_fp.uniform() >= distractor_fp_rate:
+                    continue
+                ci = int(sv.distractor_classes[d])
+                jit = rng_fp.normal(0, cfg.jitter, size=4)
+                detections.append(
+                    {
+                        "frame": int(fid),
+                        "bbox": _clipped(sv.distractor_boxes[d, t] + jit, cfg),
+                        "scores": [
+                            {
+                                "class": name(ci),
+                                "class_index": ci,
+                                "score": float(
+                                    rng_fp.uniform(*distractor_fp_score)
+                                ),
+                            }
                         ],
                     }
                 )
