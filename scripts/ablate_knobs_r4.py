@@ -79,6 +79,12 @@ CONFIGS = {
     # the ~10 ms/video scan-step lever; speed side in bench_components.py
     "stride2": ["--track_stride", "2"],
     "stride2_mt32": ["--track_stride", "2", "--max_tracks", "32"],
+    # round 5: EMA template adaptation (training-free localization lever —
+    # the hard tier drifts appearance ±35% against a frozen anchor template)
+    "eta005": ["--template_eta", "0.05"],
+    "eta01": ["--template_eta", "0.1"],
+    "eta02": ["--template_eta", "0.2"],
+    "mt32_eta01": ["--max_tracks", "32", "--template_eta", "0.1"],
 }
 
 

@@ -34,14 +34,14 @@ def test_track_chunk_carries_state(models):
     box0 = jnp.asarray(sv.gt_boxes[0, 0])
     tmpl = extract_template(feats[0], box0, trk_cfg)[None]
     # one shot over frames 1..15
-    b_all, c_all, a_all, be, ae = track_chunk(
+    b_all, c_all, a_all, be, ae, _ = track_chunk(
         trk_cfg, feats[1:], tmpl, box0[None], jnp.asarray([True]), 0.2
     )
     # two chunks: 1..8, then 9..15 with carried state
-    b1, c1, a1, be1, ae1 = track_chunk(
+    b1, c1, a1, be1, ae1, _ = track_chunk(
         trk_cfg, feats[1:9], tmpl, box0[None], jnp.asarray([True]), 0.2
     )
-    b2, c2, a2, be2, ae2 = track_chunk(
+    b2, c2, a2, be2, ae2, _ = track_chunk(
         trk_cfg, feats[9:], tmpl, be1, ae1, 0.2
     )
     np.testing.assert_allclose(

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                    help="NCC scan advances every s-th frame, interpolating "
                    "the rest (video/track.py::track_batch frame_stride)")
     p.add_argument(
+        "--template_eta", type=float, default=0.0,
+        help="EMA template adaptation rate (appearance-drift remedy; "
+        "confidence-gated — TrackerConfig.template_eta; 0 = frozen "
+        "anchor template)")
+    p.add_argument(
         "--track_scales", type=int, default=1,
         help="scale-adaptive tracking: NCC scales per step (1 = off; 3 with "
         "trained tracker features recommended for zooming objects)",
@@ -147,7 +152,8 @@ def main(argv=None) -> int:
     det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
     if args.detector_weights:
         det_params = load_params(args.detector_weights, template=det_params)
-    trk_cfg = TrackerConfig(num_scales=args.track_scales)
+    trk_cfg = TrackerConfig(num_scales=args.track_scales,
+                            template_eta=args.template_eta)
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
     if args.tracker_weights:
         trk_params = load_params(args.tracker_weights, template=trk_params)

@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     # quality knobs — same semantics as the pipeline tool (RESULTS.md
     # hard-tier sweep: these are worth several mAP on hard data)
+    p.add_argument("--template_eta", type=float, default=0.0,
+                   help="EMA template adaptation rate (confidence-gated; "
+                   "0 = frozen anchor template)")
     p.add_argument("--track_scales", type=int, default=1,
                    help="tracker scale-search candidates (1 = off)")
     p.add_argument("--boost", choices=["max", "mean"], default="max",
@@ -127,7 +130,8 @@ def main(argv=None) -> int:
     det_model, det_params = init_detector(det_cfg, hw, args.max_rois, seed=args.seed)
     if args.detector_weights:
         det_params = load_params(args.detector_weights, template=det_params)
-    trk_cfg = TrackerConfig(num_scales=args.track_scales)
+    trk_cfg = TrackerConfig(num_scales=args.track_scales,
+                            template_eta=args.template_eta)
     trk_model, trk_params = init_tracker(trk_cfg, image_hw=hw, seed=args.seed)
     if args.tracker_weights:
         trk_params = load_params(args.tracker_weights, template=trk_params)

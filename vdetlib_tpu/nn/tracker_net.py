@@ -37,6 +37,14 @@ class TrackerConfig:
     scale_step: float = 1.05
     scale_damping: float = 0.5
     scale_penalty: float = 0.975  # multiplier on non-unity scale peaks
+    # Template adaptation (appearance-drift remedy, classic correlation-
+    # filter EMA): after each CONFIDENT step (peak > template_update_conf),
+    # blend the carried template toward the features at the new box and
+    # renormalize. 0.0 = off — frozen anchor template, the legacy behavior.
+    # The confidence gate is what keeps the classic failure (template walks
+    # onto an occluder/distractor) in check.
+    template_eta: float = 0.0
+    template_update_conf: float = 0.6
 
     @property
     def stride(self) -> int:

@@ -114,22 +114,39 @@ def track_chunk(cfg, feats, templates, boxes0, alive0, conf_thresh: float):
       alive0: (A,) bool — state carried from the previous chunk.
     Returns:
       boxes (A, Tc, 4), conf (A, Tc), alive (A, Tc), plus the final
-      (boxes_end, alive_end) carry.
+      (boxes_end, alive_end, templates_end) carry. templates_end equals
+      the input templates unless cfg.template_eta > 0 (the EMA template
+      adaptation of video/track.py — same rule, so stream and batch
+      trackers stay in lockstep; both stream engines share THIS function,
+      which is what keeps their parity).
     """
+    adapt = cfg.template_eta > 0.0  # static (cfg is a static argname)
 
     def one_slot(template, box0, a0):
         def step(carry, feat_t):
-            box, alive = carry
-            new_box, peak = ncc_update(feat_t, box, template, cfg)
+            if adapt:
+                box, alive, tpl = carry
+            else:
+                box, alive = carry
+                tpl = template
+            new_box, peak = ncc_update(feat_t, box, tpl, cfg)
             ok = peak > conf_thresh
             new_alive = alive & ok
             new_box = jnp.where(new_alive, new_box, box)
+            if adapt:
+                fresh = extract_template(feat_t, new_box, cfg)
+                eta = jnp.float32(cfg.template_eta)
+                blend = (1.0 - eta) * tpl + eta * fresh
+                blend = blend / jnp.sqrt(jnp.sum(blend * blend) + 1e-6)
+                upd = new_alive & (peak > cfg.template_update_conf)
+                tpl = jnp.where(upd, blend, tpl)
+                return (new_box, new_alive, tpl), (new_box, peak, new_alive)
             return (new_box, new_alive), (new_box, peak, new_alive)
 
-        (box_end, alive_end), (boxes, conf, alive) = jax.lax.scan(
-            step, (box0, a0), feats
-        )
-        return boxes, conf, alive, box_end, alive_end
+        init = (box0, a0, template) if adapt else (box0, a0)
+        carry_end, (boxes, conf, alive) = jax.lax.scan(step, init, feats)
+        tpl_end = carry_end[2] if adapt else template
+        return boxes, conf, alive, carry_end[0], carry_end[1], tpl_end
 
     return jax.vmap(one_slot)(templates, boxes0, alive0)
 
@@ -316,7 +333,7 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         feats = jax.lax.optimization_barrier(
             tracker_features(trk_model, trk_params, frames)
         )
-        tb, tc_, ta, box_end, alive_end = jax.lax.optimization_barrier(
+        tb, tc_, ta, box_end, alive_end, tpl_end = jax.lax.optimization_barrier(
             track_chunk(
                 trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
                 opts.conf_thresh,
@@ -352,9 +369,10 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # (A,)
         arange_a = jnp.arange(A, dtype=jnp.int32)
 
-        # dummy-row-extended slot state for masked scatters
+        # dummy-row-extended slot state for masked scatters (tpl_end ==
+        # slot_templates unless template_eta > 0 — EMA-adapted carry)
         templates_x = jnp.concatenate(
-            [slot_templates, jnp.zeros_like(slot_templates[:1])], axis=0
+            [tpl_end, jnp.zeros_like(tpl_end[:1])], axis=0
         )
         sboxes_x = jnp.concatenate([box_end, jnp.zeros_like(box_end[:1])], 0)
         salive_x = jnp.concatenate(
@@ -580,10 +598,11 @@ def stream_video(
 
         # --- tracking: advance carried slots over this chunk ---
         feats = tracker_features(trk_model, trk_params, frames_j)
-        tb, tc_, ta, box_end, alive_end = track_chunk(
+        tb, tc_, ta, box_end, alive_end, tpl_end = track_chunk(
             trk_cfg, feats, slot_templates, slot_boxes, slot_alive, opts.conf_thresh
         )
         slot_boxes, slot_alive = box_end, alive_end
+        slot_templates = tpl_end  # identity unless cfg.template_eta > 0
         tb_np, ta_np, tc_np = np.asarray(tb), np.asarray(ta), np.asarray(tc_)
         for a in range(A):
             if slot_id[a] < 0:

@@ -215,13 +215,21 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
         snap_s = jnp.zeros((T, 1), jnp.float32)
         snap_v = jnp.zeros((T, 1), bool)
 
+    adapt = cfg.template_eta > 0.0  # static (cfg reaches here via closures)
+
     def step(carry, inp):
         feat_t, t, db, dsc, dv = inp
-        box, alive = carry
+        if adapt:
+            box, alive, tpl = carry
+        else:
+            box, alive = carry
+            tpl = template
         started = t == anchor_t
         box = jnp.where(started, anchor_box, box)
         alive = jnp.logical_or(alive, started)
-        new_box, peak = ncc_update(feat_t, box, template, cfg)
+        if adapt:
+            tpl = jnp.where(started, template, tpl)
+        new_box, peak = ncc_update(feat_t, box, tpl, cfg)
         track_now = alive & (t != anchor_t)
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive & ok, alive)
@@ -231,9 +239,21 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
             new_box = jnp.where(track_now & ok, snapped, new_box)
         conf_out = jnp.where(started, 1.0, peak)
         emit_alive = jnp.where(started, True, new_alive)
+        if adapt:
+            # same EMA rule as track_batch's folded scan (kept in lockstep —
+            # the folded-vs-two-scan parity test covers both modes)
+            fresh = extract_template(feat_t, new_box, cfg)
+            eta = jnp.float32(cfg.template_eta)
+            blend = (1.0 - eta) * tpl + eta * fresh
+            blend = blend / jnp.sqrt(jnp.sum(blend * blend) + 1e-6)
+            upd = track_now & ok & (peak > cfg.template_update_conf)
+            tpl = jnp.where(upd, blend, tpl)
+            return (new_box, new_alive, tpl), (new_box, conf_out, emit_alive)
         return (new_box, new_alive), (new_box, conf_out, emit_alive)
 
     init = (jnp.zeros(4, jnp.float32), jnp.asarray(False))
+    if adapt:
+        init = init + (template,)
     _, (boxes, conf, alive) = jax.lax.scan(
         step, init, (feats, ts, snap_b, snap_s, snap_v)
     )
@@ -350,8 +370,14 @@ def track_batch(
         alive = jnp.where(use_f, fa, ba)
         return boxes, conf, alive
 
+    adapt = cfg.template_eta > 0.0  # static (cfg is a static argname)
+
     def step(carry, inp):
-        fbox, falive, bbox, balive = carry
+        if adapt:
+            fbox, falive, bbox, balive, tpl2 = carry
+        else:
+            fbox, falive, bbox, balive = carry
+            tpl2 = jnp.stack([templates, templates])
         feat_f, t = inp
         tb = T - 1 - t
         feat_b = jax.lax.dynamic_index_in_dim(feats, tb, 0, keepdims=False)
@@ -375,11 +401,17 @@ def track_batch(
             started[..., None], anchor_boxes[None], jnp.stack([fbox, bbox])
         )
         alive2 = jnp.stack([falive, balive]) | started
+        if adapt:
+            # a lane that (re)starts this step tracks from its ANCHOR
+            # template, exactly like the frozen path
+            tpl2 = jnp.where(
+                started[..., None, None, None], templates[None], tpl2
+            )
         new_box, peak = jax.vmap(
-            lambda ft, bxs: jax.vmap(
+            lambda ft, bxs, tps: jax.vmap(
                 lambda b, tp: ncc_update(ft, b, tp, cfg)
-            )(bxs, templates)
-        )(jnp.stack([feat_f, feat_b]), box)
+            )(bxs, tps)
+        )(jnp.stack([feat_f, feat_b]), box, tpl2)
         track_now = alive2 & (ts2[:, None] != anchor_ts[None, :])
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive2 & ok, alive2)
@@ -396,8 +428,32 @@ def track_batch(
             )
         conf_out = jnp.where(started, 1.0, peak)
         emit_alive = jnp.where(started, True, new_alive)
+        if adapt:
+            # EMA toward the features at the new box, gated on confidence
+            # (peak > template_update_conf) so the template cannot walk onto
+            # an occluder during a low-confidence stretch; renormalized so
+            # the NCC response stays a cosine similarity
+            fresh = jax.vmap(
+                lambda ft, bxs: jax.vmap(
+                    lambda b: extract_template(ft, b, cfg)
+                )(bxs)
+            )(jnp.stack([feat_f, feat_b]), new_box)  # (2, A, P, P, C)
+            eta = jnp.float32(cfg.template_eta)
+            blend = (1.0 - eta) * tpl2 + eta * fresh
+            norm = jnp.sqrt(
+                jnp.sum(blend * blend, axis=(-3, -2, -1), keepdims=True)
+                + 1e-6
+            )
+            blend = blend / norm
+            upd = track_now & ok & (peak > cfg.template_update_conf)
+            tpl2 = jnp.where(upd[..., None, None, None], blend, tpl2)
+            carry_out = (
+                new_box[0], new_alive[0], new_box[1], new_alive[1], tpl2,
+            )
+        else:
+            carry_out = (new_box[0], new_alive[0], new_box[1], new_alive[1])
         return (
-            (new_box[0], new_alive[0], new_box[1], new_alive[1]),
+            carry_out,
             (
                 new_box[0], conf_out[0], emit_alive[0],
                 new_box[1], conf_out[1], emit_alive[1],
@@ -409,6 +465,8 @@ def track_batch(
         jnp.zeros((A, 4), jnp.float32), jnp.zeros((A,), bool),
         jnp.zeros((A, 4), jnp.float32), jnp.zeros((A,), bool),
     )
+    if adapt:
+        init = init + (jnp.stack([templates, templates]),)
     _, (fb, fc, fa, bb, bc, ba) = jax.lax.scan(
         step, init, (feats, jnp.arange(T)), unroll=unroll
     )
