@@ -79,6 +79,10 @@ CONFIGS = {
     # the ~10 ms/video scan-step lever; speed side in bench_components.py
     "stride2": ["--track_stride", "2"],
     "stride2_mt32": ["--track_stride", "2", "--max_tracks", "32"],
+    # stride dose curve: does more interpolation smoothing help or is 2 the
+    # sweet spot? (stride2 measured +0.4 on the yardstick draw)
+    "stride3": ["--track_stride", "3"],
+    "stride3_mt32": ["--track_stride", "3", "--max_tracks", "32"],
     # round 5: EMA template adaptation (training-free localization lever —
     # the hard tier drifts appearance ±35% against a frozen anchor template)
     "eta005": ["--template_eta", "0.05"],
@@ -88,12 +92,12 @@ CONFIGS = {
 }
 
 
-def run_one(name: str, extra: list) -> dict:
-    work = f"/tmp/abl_{name}"
+def run_one(name: str, extra: list, data: str = DATA, prefix: str = "abl") -> dict:
+    work = f"/tmp/{prefix}_{name}"
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "vdetlib_tpu", "pipeline", DATA, work] + BASE + extra,
+        [sys.executable, "-m", "vdetlib_tpu", "pipeline", data, work] + BASE + extra,
         capture_output=True, text=True, timeout=3600,
     )
     out = proc.stdout + proc.stderr
@@ -113,12 +117,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=None,
                     help="comma list (default: all, in table order)")
+    ap.add_argument("--data", default=DATA,
+                    help="dataset dir (e.g. /tmp/dshard100 for held-out)")
+    ap.add_argument("--prefix", default="abl", help="workdir prefix /tmp/<p>_")
     args = ap.parse_args()
     names = args.configs.split(",") if args.configs else list(CONFIGS)
-    assert os.path.isdir(DATA) and os.path.isdir("/tmp/ck_hard"), \
+    assert os.path.isdir(args.data) and os.path.isdir("/tmp/ck_hard"), \
         "yardstick artifacts missing — see RESULTS.md Round-4 yardstick"
     for name in names:
-        run_one(name, CONFIGS[name])
+        run_one(name, CONFIGS[name], data=args.data, prefix=args.prefix)
 
 
 if __name__ == "__main__":
