@@ -84,7 +84,8 @@ def matched_setup(tmp_path_factory):
     )
 
 
-def _staged_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
+def _staged_protos(s, tubelet_boxes=False, min_matched_frac=0.0,
+                   track_stride=1):
     det_opts = DetectOptions(
         batch_size=4, max_rois=R, image_hw=HW, score_thresh=0.005, regress=True
     )
@@ -95,6 +96,7 @@ def _staged_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
     trk_opts = TrackOptions(
         max_tracks=6, anchors_per_round=3, anchor_thresh=0.3, conf_thresh=0.5,
         cover_thresh=0.5, batch_size=4, image_hw=HW,
+        frame_stride=track_stride,
     )
     res_opts = RescoreOptions(
         match_thresh=0.5, top_ratio=0.5, boost="max", bg_decay=1.0,
@@ -118,7 +120,8 @@ def _staged_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
     return final, tubelets, trk
 
 
-def _fused_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
+def _fused_protos(s, tubelet_boxes=False, min_matched_frac=0.0,
+                  track_stride=1):
     cfg = FusedConfig(
         image_hw=HW, detect_batch=4, feat_batch=4, score_thresh=0.005,
         mgp_window=1, mgp_decay=0.9, nms_thresh=0.3, det_budget=BUDGET,
@@ -127,6 +130,7 @@ def _fused_protos(s, tubelet_boxes=False, min_matched_frac=0.0):
         boost="max", bg_decay=1.0, link_thresh=0.5, suppress_thresh=0.3,
         max_paths=8, link_rescore="avg", flow_preset="fast",
         tubelet_boxes=tubelet_boxes, min_matched_frac=min_matched_frac,
+        track_stride=track_stride,
     )
     pipe = make_fused_pipeline(s["det_model"], s["trk_model"], s["trk_cfg"], cfg)
     out = pipe(
@@ -166,6 +170,41 @@ def test_fused_matches_staged_final_dets(matched_setup):
             np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
     # the pipeline actually produced something to compare
     assert len(staged_det["detections"]) > 0
+
+
+def test_fused_matches_staged_at_track_stride2(matched_setup):
+    """Engine parity at track_stride=2 — both engines now compute tracker
+    features for SAMPLED frames only (track_batch feats_strided contract);
+    final dets must still agree, and the strided run must differ from the
+    stride-1 run (precondition: the knob actually changes the output here,
+    so this test cannot silently degenerate into the stride-1 case)."""
+    staged_det, _, staged_trk = _staged_protos(matched_setup, track_stride=2)
+    fused_det, _, _ = _fused_protos(matched_setup, track_stride=2)
+
+    a = _index_dets(staged_det)
+    b = _index_dets(fused_det)
+    assert set(a.keys()) == set(b.keys())
+    for key in a:
+        sa, sb = a[key], b[key]
+        assert len(sa) == len(sb), f"{key}: {len(sa)} vs {len(sb)} dets"
+        for (sc_a, bb_a), (sc_b, bb_b) in zip(sa, sb):
+            np.testing.assert_allclose(sc_a, sc_b, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(bb_a, bb_b, rtol=1e-4, atol=1e-3)
+    assert len(staged_det["detections"]) > 0
+    assert len(staged_trk["tracks"]) > 0
+    # precondition: stride actually engaged — TRACK boxes must differ from
+    # the stride-1 run somewhere (final dets may legitimately coincide:
+    # rescoring only reads the det-match SET, which small box changes need
+    # not flip — but identical track boxes would mean the knob is dead)
+    _, _, base_trk = _staged_protos(matched_setup)
+    def _track_boxes(tp):
+        return [
+            tuple(tuple(b["bbox"]) for b in tr) for tr in tp["tracks"]
+        ]
+    assert _track_boxes(staged_trk) != _track_boxes(base_trk), (
+        "stride-2 track boxes identical to stride-1 — fixture no longer "
+        "exercises the stride path"
+    )
 
 
 def test_fused_matches_staged_tubelets(matched_setup):

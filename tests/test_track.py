@@ -80,6 +80,36 @@ def test_frame_stride_tracks_close_to_stride1(setup):
         assert np.mean(ious) > 0.6, (k, ious)
 
 
+def test_prestrided_feats_match_full_feats(setup):
+    """feats_strided contract (pipeline/fused.py skips computing features
+    the strided scan never reads): passing feats[::s] + full_t must equal
+    passing full-T features EXACTLY — for even and odd T (ceil rows)."""
+    sv, cfg, model, params, feats = setup
+    K = sv.gt_boxes.shape[0]
+    for Tc in (T, T - 1):  # even + odd frame counts
+        fsub = feats[:Tc]
+        anchor_t = jnp.asarray([Tc // 2] * K)
+        anchor_boxes = jnp.asarray(sv.gt_boxes[:, Tc // 2])
+        full = track_batch(
+            model, cfg, fsub, anchor_t, anchor_boxes, 0.3, frame_stride=2
+        )
+        pre = track_batch(
+            model, cfg, fsub[::2], anchor_t, anchor_boxes, 0.3,
+            frame_stride=2, feats_strided=True, full_t=Tc,
+        )
+        for a, b in zip(full, pre):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # misuse guards
+    with pytest.raises(ValueError):
+        track_batch(model, cfg, feats[::2], jnp.asarray([0] * K),
+                    jnp.asarray(sv.gt_boxes[:, 0]), 0.3,
+                    frame_stride=2, feats_strided=True)  # full_t missing
+    with pytest.raises(ValueError):
+        track_batch(model, cfg, feats, jnp.asarray([0] * K),
+                    jnp.asarray(sv.gt_boxes[:, 0]), 0.3,
+                    feats_strided=True)  # stride 1
+
+
 def test_folded_scan_matches_two_scan_form(setup):
     """track_batch folds fwd+bwd into one scan; it must equal the two-scan
     composition (_track_one_direction per direction) exactly."""

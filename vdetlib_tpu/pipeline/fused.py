@@ -246,16 +246,23 @@ def _make_pipeline_fn(det_model, trk_model, trk_cfg, cfg: FusedConfig):
         keep = keep & g_valid
 
         # ---- tracking (config 3; staged: video/track.py::track_from_det) ----
+        # at track_stride s > 1 the scan only ever reads feats[::s], so
+        # compute tracker features for the sampled frames ONLY (halves the
+        # track/features block at s=2; outputs identical — track_batch's
+        # feats_strided contract)
+        s = int(cfg.track_stride)
+        fr_src = frames[::s] if s > 1 else frames
+        Tf = fr_src.shape[0]
         fb = cfg.feat_batch
-        Tp = ((T + fb - 1) // fb) * fb
+        Tp = ((Tf + fb - 1) // fb) * fb
         fr_pad = jnp.concatenate(
-            [frames, jnp.repeat(frames[-1:], Tp - T, axis=0)], axis=0
+            [fr_src, jnp.repeat(fr_src[-1:], Tp - Tf, axis=0)], axis=0
         )
         feats = jax.lax.map(
             lambda f: tracker_features(trk_model, trk_p, f),
             fr_pad.reshape(Tp // fb, fb, H, W, 3),
         )
-        feats = feats.reshape((Tp,) + feats.shape[2:])[:T]
+        feats = feats.reshape((Tp,) + feats.shape[2:])[:Tf]
 
         cand_mask = keep & (g_scores >= cfg.anchor_thresh)
         tb, tc, ta, n_tracks = _greedy_track_rounds(
@@ -400,6 +407,8 @@ def _greedy_track_rounds(
             trk_model, trk_cfg, feats, anchor_ts, anchor_boxes, cfg.track_conf,
             snap=snap, snap_iou=cfg.snap_iou, snap_weight=cfg.snap_weight,
             frame_stride=cfg.track_stride,
+            feats_strided=cfg.track_stride > 1,
+            full_t=T if cfg.track_stride > 1 else None,
         )
         ta = ta & valids[:, None] & frame_ok[None, :]
         # K-slot scatter in pick order (invalid lanes land in the dummy row)

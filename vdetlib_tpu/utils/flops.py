@@ -176,13 +176,22 @@ def fused_dispatch_flops(det_cfg, trk_cfg, fused_cfg, t: int, n_rois: int,
             "MXU", f"2x dense({det_cfg.head_hidden}) + cls/bbox",
         ),
         ComponentFlops(
-            "track/features", t * tracker_feat_flops(trk_cfg, h, w), "MXU",
-            "dense tracker conv features, all frames",
+            "track/features",
+            -(-t // fused_cfg.track_stride) * tracker_feat_flops(trk_cfg, h, w),
+            "MXU",
+            f"dense tracker conv features, every {fused_cfg.track_stride}-th "
+            "frame" if fused_cfg.track_stride > 1
+            else "dense tracker conv features, all frames",
         ),
         ComponentFlops(
             "track/ncc_scan",
-            tracker_scan_flops(trk_cfg, h, w, t, fused_cfg.anchors_per_round),
-            "MXU", f"{2 * fused_cfg.anchors_per_round} lanes x {t} steps",
+            tracker_scan_flops(
+                trk_cfg, h, w, -(-t // fused_cfg.track_stride),
+                fused_cfg.anchors_per_round,
+            ),
+            "MXU",
+            f"{2 * fused_cfg.anchors_per_round} lanes x "
+            f"{-(-t // fused_cfg.track_stride)} steps",
         ),
         ComponentFlops(
             "mgp/flow", flow_flops(h, w, 2 * (t - 1), preset=fused_cfg.flow_preset),

@@ -264,7 +264,10 @@ def _track_one_direction(feats, anchor_t, anchor_box, template, cfg, conf_thresh
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "cfg", "conf_thresh", "unroll", "frame_stride"),
+    static_argnames=(
+        "model", "cfg", "conf_thresh", "unroll", "frame_stride",
+        "feats_strided", "full_t",
+    ),
 )
 def track_batch(
     model: TrackerNet,
@@ -278,6 +281,8 @@ def track_batch(
     snap_iou=0.5,
     snap_weight=0.5,
     frame_stride: int = 1,
+    feats_strided: bool = False,
+    full_t: int | None = None,
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
@@ -299,11 +304,29 @@ def track_batch(
 
     Returns boxes (A, T, 4), conf (A, T), alive (A, T); the anchor frame is
     alive with conf 1.0; dead frames carry the last live box (masked out).
+
+    ``feats_strided=True`` (stride-mode callers that want to skip computing
+    features for frames the scan never reads — pipeline/fused.py): ``feats``
+    already holds only every s-th frame's features (ceil(full_t/s) rows) and
+    ``full_t`` gives the original frame count. Output shapes/values are
+    IDENTICAL to passing full-T features — the stride path only ever reads
+    ``feats[::s]``. ``anchor_ts`` / ``snap`` stay in FULL-frame indexing.
     """
     if frame_stride > 1:
         s = int(frame_stride)
-        T = feats.shape[0]
-        feats_s = feats[::s]
+        if feats_strided:
+            if full_t is None:
+                raise ValueError("feats_strided=True requires full_t")
+            T = int(full_t)
+            feats_s = feats
+            if feats_s.shape[0] != -(-T // s):  # ceil
+                raise ValueError(
+                    f"pre-strided feats have {feats_s.shape[0]} rows, "
+                    f"expected ceil({T}/{s})"
+                )
+        else:
+            T = feats.shape[0]
+            feats_s = feats[::s]
         Ts = feats_s.shape[0]
         anchor_ts_s = jnp.clip((anchor_ts + s // 2) // s, 0, Ts - 1)
         snap_s = None
@@ -334,6 +357,8 @@ def track_batch(
         alive = alive.at[lane, anchor_ts].set(True)
         return boxes, conf, alive
 
+    if feats_strided:
+        raise ValueError("feats_strided requires frame_stride > 1")
     T = feats.shape[0]
     templates = jax.vmap(
         lambda at, ab: extract_template(feats[at], ab, cfg)
@@ -518,10 +543,16 @@ def track_from_det(
         loader = FrameLoader(vid_proto, target_hw=opts.image_hw)
         frames_u8 = np.stack([img for _, img, _ in loader.iter_frames()])
         loader.close()
+    # at frame_stride > 1 the scan only reads every stride-th frame's
+    # features — compute those ONLY (halves the feature block at stride 2;
+    # outputs identical, track_batch's feats_strided contract)
+    stride = int(opts.frame_stride)
+    feat_src = frames_u8[::stride] if stride > 1 else frames_u8
+    Tf = len(feat_src)
     feats_list = []
     B = opts.batch_size
-    for s in range(0, T, B):
-        chunk = jnp.asarray(frames_u8[s : s + B])
+    for s in range(0, Tf, B):
+        chunk = jnp.asarray(feat_src[s : s + B])
         pad = B - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
@@ -590,6 +621,8 @@ def track_from_det(
             snap_iou=opts.snap_iou,
             snap_weight=opts.snap_weight,
             frame_stride=opts.frame_stride,
+            feats_strided=stride > 1,
+            full_t=T if stride > 1 else None,
         )
         boxes, conf, alive = np.asarray(boxes), np.asarray(conf), np.asarray(alive)
         for k, i in enumerate(picked):
