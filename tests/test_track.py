@@ -110,6 +110,38 @@ def test_prestrided_feats_match_full_feats(setup):
                     feats_strided=True)  # stride 1
 
 
+def test_stride_valid_t_makes_padded_match_unpadded(setup):
+    """valid_t contract (the fused engine's bucket-padded T): a stride-2
+    run over pad-extended features with valid_t=T must equal the unpadded
+    run EXACTLY on the real frames. Without the clamp, anchors at the last
+    real frame snap onto a pad sample and end-of-video interpolation reads
+    pad-frame scan outputs (the round-5 default-flip regression)."""
+    sv, cfg, model, params, feats = setup
+    K = sv.gt_boxes.shape[0]
+    # anchor at the LAST real frame — the case whose snap rounds up
+    anchor_t = jnp.asarray([T - 1] * K)
+    anchor_boxes = jnp.asarray(sv.gt_boxes[:, T - 1])
+    ref = track_batch(
+        model, cfg, feats, anchor_t, anchor_boxes, 0.3, frame_stride=2
+    )
+    pad = jnp.concatenate([feats, jnp.repeat(feats[-1:], 4, axis=0)], axis=0)
+    padded = track_batch(
+        model, cfg, pad, anchor_t, anchor_boxes, 0.3, frame_stride=2,
+        valid_t=jnp.int32(T),
+    )
+    for a, b in zip(ref, padded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:, :T])
+    # precondition: WITHOUT valid_t the padded run must actually diverge
+    # (otherwise this test stops guarding anything)
+    loose = track_batch(
+        model, cfg, pad, anchor_t, anchor_boxes, 0.3, frame_stride=2
+    )
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b)[:, :T])
+        for a, b in zip(ref, loose)
+    ), "padded stride run no longer diverges without valid_t"
+
+
 def test_folded_scan_matches_two_scan_form(setup):
     """track_batch folds fwd+bwd into one scan; it must equal the two-scan
     composition (_track_one_direction per direction) exactly."""

@@ -31,9 +31,12 @@ def main(argv=None) -> int:
                    choices=["accurate", "fast", "fastest"],
                    help="MGP optical-flow resolution/speed tradeoff")
     p.add_argument("--max_tracks", type=int, default=16)
-    p.add_argument("--track_stride", type=int, default=1,
+    p.add_argument("--track_stride", type=int, default=2,
                    help="NCC scan advances every s-th frame, interpolating "
-                   "the rest (video/track.py::track_batch frame_stride)")
+                   "the rest (video/track.py::track_batch frame_stride); "
+                   "default 2 halves tracker compute at held-out-neutral "
+                   "quality (RESULTS.md round 5) — set 1 for frame-exact "
+                   "reference semantics")
     p.add_argument(
         "--template_eta", type=float, default=0.0,
         help="EMA template adaptation rate (appearance-drift remedy; "

@@ -73,7 +73,7 @@ class FusedConfig:
     cover_thresh: float = 0.5  # TrackOptions.cover_thresh
     snap_weight: float = 0.0  # TrackOptions.snap_weight (0 = off)
     snap_iou: float = 0.5  # TrackOptions.snap_iou
-    track_stride: int = 1  # TrackOptions.frame_stride
+    track_stride: int = 2  # TrackOptions.frame_stride (default 2 — see there)
     # rescore
     rescore_match: float = 0.5  # RescoreOptions.match_thresh
     top_ratio: float = 0.5
@@ -409,6 +409,13 @@ def _greedy_track_rounds(
             frame_stride=cfg.track_stride,
             feats_strided=cfg.track_stride > 1,
             full_t=T if cfg.track_stride > 1 else None,
+            # T may be bucket-padded (fused_runner); clamp the stride path's
+            # anchor snap + interpolation to the last REAL frame so padded
+            # and unpadded runs agree (track_batch valid_t contract)
+            valid_t=(
+                jnp.sum(frame_ok, dtype=jnp.int32)
+                if cfg.track_stride > 1 else None
+            ),
         )
         ta = ta & valids[:, None] & frame_ok[None, :]
         # K-slot scatter in pick order (invalid lanes land in the dummy row)

@@ -67,7 +67,11 @@ class TrackOptions:
     # advance the NCC scan every s-th frame only, interpolating the skipped
     # frames (track_batch docstring). The scan is launch-overhead-bound
     # (RESULTS.md MFU table: ncc_scan at 2.2% of peak), so steps ∝ 1/s.
-    frame_stride: int = 1
+    # DEFAULT 2 (round 5): halves scan steps AND tracker-feature compute;
+    # measured quality-NEUTRAL on 100 held-out hard-tier videos (0.5658 vs
+    # 0.5654, +0.4 on the tuning draw) — same flip precedent as the
+    # quarter-res flow preset. Set 1 for frame-exact reference semantics.
+    frame_stride: int = 2
 
 
 def init_tracker(cfg: TrackerConfig = TrackerConfig(), image_hw=(240, 320), seed: int = 0):
@@ -283,6 +287,7 @@ def track_batch(
     frame_stride: int = 1,
     feats_strided: bool = False,
     full_t: int | None = None,
+    valid_t=None,  # dynamic count of REAL frames when T is bucket-padded
 ):
     """Track A anchors forward+backward over (T, h, w, C) features.
 
@@ -311,6 +316,14 @@ def track_batch(
     ``full_t`` gives the original frame count. Output shapes/values are
     IDENTICAL to passing full-T features — the stride path only ever reads
     ``feats[::s]``. ``anchor_ts`` / ``snap`` stay in FULL-frame indexing.
+
+    ``valid_t`` (stride mode with bucket-padded T — pipeline/fused.py): the
+    dynamic count of REAL frames. Without it, anchor snapping can round UP
+    past the last real frame onto a PAD sample, and interpolation near the
+    real end reads the scan's pad-frame outputs — both diverge from an
+    unpadded run of the same video (the staged engine). With it, the snap
+    and the interpolation neighbor clamp to the last real sampled frame,
+    making padded and unpadded runs identical on real frames.
     """
     if frame_stride > 1:
         s = int(frame_stride)
@@ -328,7 +341,12 @@ def track_batch(
             T = feats.shape[0]
             feats_s = feats[::s]
         Ts = feats_s.shape[0]
-        anchor_ts_s = jnp.clip((anchor_ts + s // 2) // s, 0, Ts - 1)
+        # last sampled index that falls on a REAL frame (Ts-1 if unpadded)
+        if valid_t is None:
+            last_sample = Ts - 1
+        else:
+            last_sample = jnp.maximum((valid_t - 1) // s, 0)
+        anchor_ts_s = jnp.clip((anchor_ts + s // 2) // s, 0, last_sample)
         snap_s = None
         if snap is not None:
             snap_s = tuple(a[::s] for a in snap)
@@ -339,7 +357,7 @@ def track_batch(
         )
         t_full = jnp.arange(T)
         i0 = t_full // s
-        i1 = jnp.minimum(i0 + 1, Ts - 1)
+        i1 = jnp.minimum(i0 + 1, last_sample)
         f = ((t_full - i0 * s).astype(jnp.float32) / s)[None, :, None]
         b0, b1 = boxes_s[:, i0], boxes_s[:, i1]
         boxes = (1.0 - f) * b0 + f * b1
