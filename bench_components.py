@@ -59,10 +59,26 @@ def flow_fn(c):
     return f, b
 timeit("flow fwd+bwd (half-res)", flow_fn)
 
+# the production default since round 3 (quarter-res Pallas level)
+fkw_q = dict(levels=1, search=4, preset="fastest", upsample=False)
+def flow_fn_q(c):
+    f = flow_video(frames, **fkw_q)
+    b = jnp.flip(flow_video(jnp.flip(frames + c*0, axis=0), **fkw_q), axis=0)
+    return f, b
+timeit("flow fwd+bwd (quarter-res, production)", flow_fn_q)
+
 def feat_fn(c):
     fb = 16
     return jax.lax.map(lambda f: tracker_features(trk_model, trk_p, f), (frames + c*0).reshape(T//fb, fb, H, W, 3))
 timeit("tracker features", feat_fn)
+
+# production default since round 5: features only for every 2nd frame
+# (track_batch feats_strided contract at track_stride 2)
+def feat_fn_s2(c):
+    fb = 16
+    half = frames[::2]
+    return jax.lax.map(lambda f: tracker_features(trk_model, trk_p, f), (half + c*0).reshape(half.shape[0]//fb, fb, H, W, 3))
+timeit("tracker features (stride-2 production)", feat_fn_s2)
 
 feats = tracker_features(trk_model, trk_p, frames[:T])
 def track_fn(c):
