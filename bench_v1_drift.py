@@ -39,6 +39,9 @@ def main():
     cfg = FusedConfig(
         image_hw=(H, W), detect_batch=B.B, feat_batch=B.B,
         anchors_per_round=A, max_tracks=A, max_paths=32,
+        # default 1 here (NOT the production default 2): the r3/r4 numbers
+        # this script adjudicates were measured at stride 1 — like-for-like.
+        track_stride=int(os.environ.get("V1DRIFT_TRACK_STRIDE", "1")),
     )
     pipeline = make_fused_pipeline(det_model, trk_model, trk_cfg, cfg)
 
