@@ -420,7 +420,6 @@ def track_batch(
             fbox, falive, bbox, balive, tpl2 = carry
         else:
             fbox, falive, bbox, balive = carry
-            tpl2 = jnp.stack([templates, templates])
         feat_f, t = inp
         tb = T - 1 - t
         feat_b = jax.lax.dynamic_index_in_dim(feats, tb, 0, keepdims=False)
@@ -450,11 +449,23 @@ def track_batch(
             tpl2 = jnp.where(
                 started[..., None, None, None], templates[None], tpl2
             )
-        new_box, peak = jax.vmap(
-            lambda ft, bxs, tps: jax.vmap(
-                lambda b, tp: ncc_update(ft, b, tp, cfg)
-            )(bxs, tps)
-        )(jnp.stack([feat_f, feat_b]), box, tpl2)
+            new_box, peak = jax.vmap(
+                lambda ft, bxs, tps: jax.vmap(
+                    lambda b, tp: ncc_update(ft, b, tp, cfg)
+                )(bxs, tps)
+            )(jnp.stack([feat_f, feat_b]), box, tpl2)
+        else:
+            # frozen templates reach ncc_update as a CLOSURE CONSTANT, not a
+            # mapped operand: threading the (2, A, P, P, C) stack through the
+            # scan body (the r5 EMA refactor briefly did) defeats XLA's
+            # loop-invariant hoisting and re-lays the stack out EVERY step —
+            # measured 20.9 -> 49.3 ms for the A=8 round (scripts/
+            # ab_track_versions.py, the r3/r4/HEAD interleaved A/B).
+            new_box, peak = jax.vmap(
+                lambda ft, bxs: jax.vmap(
+                    lambda b, tp: ncc_update(ft, b, tp, cfg)
+                )(bxs, templates)
+            )(jnp.stack([feat_f, feat_b]), box)
         track_now = alive2 & (ts2[:, None] != anchor_ts[None, :])
         ok = peak > conf_thresh
         new_alive = jnp.where(track_now, alive2 & ok, alive2)
