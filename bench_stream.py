@@ -37,10 +37,11 @@ from vdetlib_tpu.video.track import init_tracker
 H, W, R, C = B.H, B.W, B.R, B.C
 
 
-def run_stream(models, frames, rois, chunk, n_chunks, engine):
+def run_stream(models, frames, rois, chunk, n_chunks, engine, stride=1):
     det_model, det_p, trk_model, trk_p, trk_cfg = models
     opts = StreamOptions(engine=engine, chunk=chunk, max_rois=R,
-                         num_classes=C, flow_preset="fastest")
+                         num_classes=C, flow_preset="fastest",
+                         track_stride=stride)
     T = chunk * n_chunks
 
     def chunks():
@@ -63,28 +64,34 @@ def main():
     trk_model, trk_p = init_tracker(trk_cfg, image_hw=(H, W), seed=0)
     models = (det_model, det_p, trk_model, trk_p, trk_cfg)
 
+    # STREAM_ENGINES / STREAM_STRIDES env vars narrow a run (e.g. the
+    # fused stride A/B: STREAM_ENGINES=fused STREAM_STRIDES=1,2)
+    engines = os.environ.get("STREAM_ENGINES", "fused,host").split(",")
+    strides = [int(v) for v in os.environ.get("STREAM_STRIDES", "1").split(",")]
     results = []
-    for engine in ("fused", "host"):
-        for chunk, (n1, n2) in [(32, (4, 8)), (16, (8, 16)), (8, (16, 32))]:
-            # compile-warm BOTH lengths (first call of each trips the same
-            # executables, but host-side shapes differ in the final seq-NMS)
-            run_stream(models, frames_np, rois_np, chunk, n1, engine)
-            run_stream(models, frames_np, rois_np, chunk, n2, engine)
-            best = 1e9
-            for _ in range(3):
-                t_lo = run_stream(models, frames_np, rois_np, chunk, n1, engine)
-                t_hi = run_stream(models, frames_np, rois_np, chunk, n2, engine)
-                best = min(best, (t_hi - t_lo) / (n2 - n1))
-            ms_chunk = best * 1e3
-            row = {
-                "engine": engine,
-                "chunk": chunk,
-                "ms_per_chunk": round(ms_chunk, 1),
-                "ms_per_frame": round(ms_chunk / chunk, 2),
-                "stream_fps": round(1e3 * chunk / ms_chunk, 1),
-            }
-            results.append(row)
-            print(json.dumps(row), flush=True)
+    for engine in engines:
+        for stride in strides:
+            for chunk, (n1, n2) in [(32, (4, 8)), (16, (8, 16)), (8, (16, 32))]:
+                # compile-warm BOTH lengths (first call of each trips the same
+                # executables, but host-side shapes differ in the final seq-NMS)
+                run_stream(models, frames_np, rois_np, chunk, n1, engine, stride)
+                run_stream(models, frames_np, rois_np, chunk, n2, engine, stride)
+                best = 1e9
+                for _ in range(3):
+                    t_lo = run_stream(models, frames_np, rois_np, chunk, n1, engine, stride)
+                    t_hi = run_stream(models, frames_np, rois_np, chunk, n2, engine, stride)
+                    best = min(best, (t_hi - t_lo) / (n2 - n1))
+                ms_chunk = best * 1e3
+                row = {
+                    "engine": engine,
+                    "stride": stride,
+                    "chunk": chunk,
+                    "ms_per_chunk": round(ms_chunk, 1),
+                    "ms_per_frame": round(ms_chunk / chunk, 2),
+                    "stream_fps": round(1e3 * chunk / ms_chunk, 1),
+                }
+                results.append(row)
+                print(json.dumps(row), flush=True)
 
     # Worst-case end-to-end frame lag at a given ingest rate: the first frame
     # of a chunk waits (chunk-1)/fps_in for the chunk to fill, then one
@@ -93,6 +100,7 @@ def main():
         fill_ms = (row["chunk"] - 1) / 30.0 * 1e3
         row2 = {
             "engine": row["engine"],
+            "stride": row["stride"],
             "chunk": row["chunk"],
             "ingest_fps": 30,
             "worst_frame_lag_ms": round(fill_ms + row["ms_per_chunk"], 1),

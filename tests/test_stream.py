@@ -426,3 +426,140 @@ def test_stream_chunked_agrees_with_unchunked(models):
     inter = (b_live & s_live).sum()
     union = (b_live | s_live).sum()
     assert union > 0 and inter / union > 0.5, (inter, union)
+
+
+def _run_stream(models, sv, rois, T, engine, stride, chunk=8, conf=0.3):
+    det_model, det_params, trk_model, trk_params, trk_cfg = models
+
+    def chunks():
+        for st in range(0, T, chunk):
+            yield sv.frames[st : st + chunk]
+
+    opts = StreamOptions(
+        engine=engine, chunk=chunk, max_rois=R, num_classes=C, track_slots=6,
+        seed_thresh=0.2, conf_thresh=conf, max_paths=20, track_stride=stride,
+    )
+    return stream_video(
+        det_model, det_params, trk_model, trk_params, trk_cfg,
+        chunks(), rois, opts,
+    )
+
+
+def test_stream_stride2_engine_parity(models):
+    """host/fused BIT-EXACT parity holds at track_stride=2.
+
+    The stride path adds three cross-engine couplings beyond the stride-1
+    parity contract (test_fused_engine_matches_host): the in-program
+    upsampling (track_chunk_strided, shared compiled), the boundary fill
+    threaded through the carry, and the numpy backtrack upsampler
+    (_backtrack_entries_strided, shared host code). Fixture preconditions
+    assert each is actually exercised.
+    """
+    T = 36  # short final chunk
+    sv, rois = _make_inputs(T, seed=85, max_speed=2.0)
+    host = _run_stream(models, sv, rois, T, "host", 2)
+    fused = _run_stream(models, sv, rois, T, "fused", 2)
+
+    # --- fixture preconditions ---
+    seed_chunks = {
+        max(seg, key=lambda e: e[2])[0] // 8 for seg in host["tracks"].values()
+    }
+    assert len(seed_chunks) >= 2, seed_chunks
+    spans = [
+        (min(t for t, _, _ in seg), max(t for t, _, _ in seg))
+        for seg in host["tracks"].values()
+    ]
+    assert any(lo // 8 != hi // 8 for lo, hi in spans), spans
+    # boundary-fill entries present: some track emits at a chunk's LAST
+    # frame (local 7) having also emitted the surrounding samples
+    assert any(
+        t % 8 == 7
+        for seg in host["tracks"].values()
+        for t, _, _ in seg
+    ), "no boundary-fill entries — fixture too easy"
+    assert any(
+        s == 0.0 for seg in host["tracks"].values() for _, _, s in seg
+    )  # backtracked entries present
+
+    # --- BIT-EXACT output parity (same contract as stride 1) ---
+    assert fused["num_frames"] == host["num_frames"] == T
+    np.testing.assert_array_equal(fused["keep"], host["keep"])
+    np.testing.assert_array_equal(fused["boxes"], host["boxes"])
+    np.testing.assert_array_equal(fused["scores"], host["scores"])
+    np.testing.assert_array_equal(fused["path_ids"], host["path_ids"])
+    np.testing.assert_array_equal(fused["seq_scores"], host["seq_scores"])
+    assert set(fused["tracks"]) == set(host["tracks"])
+    for tid, hseg in host["tracks"].items():
+        fseg = fused["tracks"][tid]
+        assert [t for t, _, _ in fseg] == [t for t, _, _ in hseg], tid
+        np.testing.assert_array_equal(
+            np.stack([b for _, b, _ in fseg]),
+            np.stack([b for _, b, _ in hseg]),
+        )
+        np.testing.assert_array_equal(
+            np.array([s for _, _, s in fseg]),
+            np.array([s for _, _, s in hseg]),
+        )
+
+
+def test_stream_stride2_interpolation_semantics(models):
+    """Skipped frames are exact linear midpoints of their sampled neighbors.
+
+    Verifies the stride contract on real segments (host engine): for a track
+    alive over [t-1, t, t+1] with t odd and none of the three the seed or a
+    backtracked entry, box[t] == 0.5*(box[t-1] + box[t+1]) — including the
+    CHUNK-BOUNDARY frame (local 7), whose fill arrives one chunk late; and
+    the stream's final frame holds the last sample.
+    """
+    T = 32
+    sv, rois = _make_inputs(T, seed=78)
+    out = _run_stream(models, sv, rois, T, "host", 2, conf=0.2)
+
+    checked = boundary_checked = 0
+    for seg in out["tracks"].values():
+        by_t = {t: (b, s) for t, b, s in seg}
+        seed_t = max(seg, key=lambda e: e[2])[0]
+        for t in range(1, T - 1):
+            if t % 2 == 0 or not {t - 1, t, t + 1} <= set(by_t):
+                continue
+            # skip seeds/backtracked entries (score 0.0) among the triple
+            if any(by_t[u][1] == 0.0 for u in (t - 1, t, t + 1)):
+                continue
+            if seed_t in (t - 1, t, t + 1):
+                continue
+            mid = 0.5 * (by_t[t - 1][0] + by_t[t + 1][0])
+            np.testing.assert_allclose(by_t[t][0], mid, rtol=0, atol=1e-5)
+            checked += 1
+            if t % 8 == 7:
+                boundary_checked += 1
+        # final-frame hold: if both T-2 and T-1 are present (and not the
+        # seed), the last frame repeats the last sample exactly
+        if (
+            T - 2 in by_t and T - 1 in by_t
+            and seed_t not in (T - 2, T - 1)
+            and by_t[T - 2][1] != 0.0 and by_t[T - 1][1] != 0.0
+        ):
+            np.testing.assert_array_equal(by_t[T - 1][0], by_t[T - 2][0])
+    assert checked >= 5, checked
+    assert boundary_checked >= 1, "no cross-boundary interpolation exercised"
+
+
+def test_stream_stride2_structural_contract(models):
+    """stride-2 streams keep the stream_video output contract: segments
+    sorted, unique frames, in range; det arrays unaffected by the stride
+    (bit-identical to the stride-1 run — the stride only touches tracker
+    segments and seeding coverage)."""
+    T = 24
+    sv, rois = _make_inputs(T, seed=77, max_speed=1.0)
+    s1 = _run_stream(models, sv, rois, T, "host", 1, conf=0.2)
+    s2 = _run_stream(models, sv, rois, T, "host", 2, conf=0.2)
+    assert len(s2["tracks"]) >= 1
+    for seg in s2["tracks"].values():
+        ts = [t for t, _, _ in seg]
+        assert ts == sorted(ts)
+        assert len(ts) == len(set(ts)), "duplicate frame entries"
+        assert min(ts) >= 0 and max(ts) < T
+    # detection + MGP arrays do not depend on the tracker stride
+    np.testing.assert_array_equal(s1["boxes"], s2["boxes"])
+    np.testing.assert_array_equal(s1["scores"], s2["scores"])
+    np.testing.assert_array_equal(s1["keep"], s2["keep"])

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed_thresh", type=float, default=0.4)
     p.add_argument("--conf_thresh", type=float, default=0.3)
     p.add_argument("--min_score", type=float, default=0.0)
+    p.add_argument("--track_stride", type=int, default=1,
+                   help="advance the online NCC scan every s-th frame "
+                        "(1=frame-exact, 2=half the tracker compute; "
+                        "skipped frames interpolate — StreamOptions)")
     p.add_argument("--no_mgp", action="store_true")
     p.add_argument("--no_backtrack", action="store_true")
     p.add_argument("--overwrite", action="store_true")
@@ -93,6 +97,7 @@ def main(argv=None) -> int:
         conf_thresh=args.conf_thresh,
         mgp=not args.no_mgp,
         backtrack=not args.no_backtrack,
+        track_stride=args.track_stride,
     )
 
     def process(vid_path: str) -> None:

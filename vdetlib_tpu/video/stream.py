@@ -85,6 +85,17 @@ class StreamOptions:
     flow_preset: str = "fastest"
     # backward re-tracking of fresh seeds over [prev chunk + current chunk]
     backtrack: bool = True
+    # advance the online NCC scan every s-th frame only, interpolating the
+    # skipped frames — the streaming analog of TrackOptions.frame_stride
+    # (video/track.py; measured held-out-neutral at 2 on the batch path
+    # while halving the tracker scan AND feature compute). The chunk's last
+    # frame straddles the boundary: its true interpolation needs the next
+    # chunk's first sample, so it is emitted one chunk late as a boundary
+    # fill (streams already emit at chunk latency; the final frame of the
+    # stream holds the last sample, the batch end rule). Detection/MGP
+    # arrays are unaffected — only track segments and seeding coverage see
+    # the stride. Supported values: 1 (frame-exact) and 2.
+    track_stride: int = 1
 
 
 def _extract_templates_core(feats, seed_ti, seed_boxes, cfg):
@@ -149,6 +160,126 @@ def track_chunk(cfg, feats, templates, boxes0, alive0, conf_thresh: float):
         return boxes, conf, alive, carry_end[0], carry_end[1], tpl_end
 
     return jax.vmap(one_slot)(templates, boxes0, alive0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "conf_thresh", "stride", "chunk_len")
+)
+def track_chunk_strided(
+    cfg, feats_s, templates, boxes0, alive0,
+    bnd_box, bnd_conf, bnd_alive, conf_thresh: float,
+    stride: int, chunk_len: int,
+):
+    """Strided slot advance + in-program upsampling + boundary fill.
+
+    The streaming analog of ``track_batch(frame_stride=s)`` (video/track.py):
+    the scan advances once per SAMPLE (every s-th chunk frame), skipped
+    interior frames get linear interpolation of their sampled neighbors
+    (alive iff both are), and the chunk's trailing skipped frame holds the
+    last sample — its true interpolation needs the NEXT chunk's first
+    sample, which this function emits as the BOUNDARY FILL for the previous
+    chunk when that next chunk runs. Upsampling happens IN-PROGRAM so both
+    stream engines read bit-identical per-frame boxes (the host engine jits
+    this standalone, the fused program inlines it behind an
+    optimization_barrier — the same sharing that keeps engine parity for
+    track_chunk / backtrack_seeds / _extract_templates_core).
+
+    Args:
+      feats_s: (Ts, h, w, C) features of every stride-th chunk frame
+        (Ts = chunk_len // stride).
+      bnd_box/bnd_conf/bnd_alive: previous chunk's scan-END snapshot
+        (pre-seeding) — the left neighbor of the boundary frame.
+    Returns:
+      (boxes (A, chunk_len, 4), conf (A, chunk_len), alive (A, chunk_len),
+       box_end (A, 4), conf_end (A,), alive_end (A,), templates_end,
+       bfill_box (A, 4), bfill_conf (A,), bfill_alive (A,)) — bfill_* is the
+      interpolated entry for the PREVIOUS chunk's last frame.
+    """
+    if stride != 2:
+        raise ValueError("streaming track_stride supports 1 and 2 only")
+    if chunk_len % stride:
+        raise ValueError("chunk must be a multiple of track_stride")
+    s = stride
+    boxes_s, conf_s, alive_s, box_end, alive_end, tpl_end = track_chunk(
+        cfg, feats_s, templates, boxes0, alive0, conf_thresh
+    )
+    Ts = feats_s.shape[0]
+    t_full = jnp.arange(chunk_len)
+    i0 = t_full // s
+    i1 = jnp.minimum(i0 + 1, Ts - 1)
+    f = ((t_full - i0 * s).astype(jnp.float32) / s)[None, :, None]
+    b0, b1 = boxes_s[:, i0], boxes_s[:, i1]
+    exact = (t_full % s == 0)[None, :]
+    boxes = jnp.where(exact[..., None], b0, (1.0 - f) * b0 + f * b1)
+    a0, a1 = alive_s[:, i0], alive_s[:, i1]
+    alive = jnp.where(exact, a0, a0 & a1)
+    c0, c1 = conf_s[:, i0], conf_s[:, i1]
+    conf = jnp.where(exact, c0, (1.0 - f[..., 0]) * c0 + f[..., 0] * c1)
+    conf_end = conf_s[:, -1]
+    fb = jnp.float32(1.0 / s)
+    bfill_box = (1.0 - fb) * bnd_box + fb * boxes_s[:, 0]
+    bfill_conf = (1.0 - fb) * bnd_conf + fb * conf_s[:, 0]
+    bfill_alive = bnd_alive & alive_s[:, 0]
+    return (
+        boxes, conf, alive, box_end, conf_end, alive_end, tpl_end,
+        bfill_box, bfill_conf, bfill_alive,
+    )
+
+
+def _snap_sample(ti, tc_valid, stride: int):
+    """Seed frame → nearest sampled index, clamped to the last REAL sample.
+
+    Same rounding as track_batch's anchor snap ((ti + s//2) // s); the clamp
+    keeps a rounded-up seed on a real frame when the chunk is padded. Works
+    on python ints (host engine) and jnp int32 (fused program) identically.
+    """
+    s = stride
+    last = (tc_valid - 1) // s
+    if isinstance(ti, (int, np.integer)):
+        return int(min((ti + s // 2) // s, max(last, 0)))
+    return jnp.minimum((ti + s // 2) // s, jnp.maximum(last, 0))
+
+
+def _backtrack_entries_strided(
+    bb_row, ba_row, t_global: int, chunk: int, stride: int,
+    seed_ti: int, seed_box,
+):
+    """Upsample one backtracked lane from sample space to frame entries.
+
+    Window sample j covers global frame (t_global - chunk) + stride*j. The
+    anchor sample is patched alive with the SEED BOX so interpolation can
+    bridge the gap up to the seed (the batch tracker's anchors are alive at
+    their anchor sample); emitted frames are strictly BEFORE the seed frame
+    (the seed entry itself is recorded by the caller). Pure numpy and shared
+    by both engines, so their segments match bit-for-bit.
+    """
+    s = stride
+    Ts = chunk // s
+    anchor_j = Ts + _snap_sample(seed_ti, chunk, s)
+    base = t_global - chunk
+    bb = np.asarray(bb_row, np.float32)
+    ba = np.asarray(ba_row, bool)
+    bx = bb.copy()
+    ba_p = ba.copy()
+    if anchor_j < 2 * Ts:
+        bx[anchor_j] = np.asarray(seed_box, np.float32)
+        ba_p[anchor_j] = True
+    seed_abs = t_global + seed_ti
+    entries = []
+    for j in range(2 * Ts):
+        g = base + s * j
+        if ba[j] and 0 <= g < seed_abs:
+            entries.append((g, bb[j].copy(), 0.0))
+        if j + 1 < 2 * Ts and ba[j] and ba_p[j + 1]:
+            for r in range(1, s):
+                g2 = g + r
+                if 0 <= g2 < seed_abs:
+                    fr = np.float32(r / s)
+                    box = ((1.0 - fr) * bx[j] + fr * bx[j + 1]).astype(
+                        np.float32
+                    )
+                    entries.append((g2, box, 0.0))
+    return entries
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "conf_thresh"))
@@ -266,7 +397,11 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
     A, R, C = opts.track_slots, opts.max_rois, opts.num_classes
     Tc = opts.chunk
     N = 3 * R if opts.mgp else R
-    Tw = opts.chunk  # retained prev-chunk window length
+    s = int(opts.track_stride)
+    if s > 1 and (s != 2 or Tc % s):
+        raise ValueError("streaming track_stride supports 1 and 2; chunk must divide")
+    Ts = Tc // s  # samples per chunk (== Tc at stride 1)
+    Tw = Ts  # retained prev-chunk window length, in SAMPLES
 
     out_spec = [
         ("out_boxes", (Tc, N, 4)),
@@ -280,8 +415,13 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         ("seed_box", (A, 4)),
         ("seed_score", (A,)),
         ("seed_ok", (A,)),
-        ("bb", (A, 2 * Tc, 4)),
-        ("balive", (A, 2 * Tc)),
+        ("bb", (A, 2 * Ts, 4)),
+        ("balive", (A, 2 * Ts)),
+        # boundary fill for the PREVIOUS chunk's trailing skipped frame
+        # (track_stride > 1 only; zeros at stride 1)
+        ("bf_box", (A, 4)),
+        ("bf_conf", (A,)),
+        ("bf_alive", (A,)),
     ]
 
     def unpack(flat: np.ndarray) -> dict:
@@ -294,7 +434,8 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
 
     def fn(det_params, trk_params, frames, rois, tc_valid, halo_frame, carry):
         (slot_templates, slot_boxes, slot_alive,
-         prev_rois, prev_scores, prev_keep, prev_feats, has_prev) = carry
+         prev_rois, prev_scores, prev_keep, prev_feats, has_prev,
+         bnd_box, bnd_conf, bnd_alive) = carry
 
         # --- detection + NMS (host loop step 1) ---
         probs, boxes = _detect_step(det_model, det_params, frames, rois, True)
@@ -331,14 +472,27 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         # bf16 pooling differences amplify chaotically through the
         # sequential scan (measured: up to 6 px box drift by 30 frames).
         feats = jax.lax.optimization_barrier(
-            tracker_features(trk_model, trk_params, frames)
+            tracker_features(trk_model, trk_params, frames[::s] if s > 1 else frames)
         )
-        tb, tc_, ta, box_end, alive_end, tpl_end = jax.lax.optimization_barrier(
-            track_chunk(
-                trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
-                opts.conf_thresh,
+        if s > 1:
+            (tb, tc_, ta, box_end, conf_end, alive_end, tpl_end,
+             bf_box, bf_conf, bf_alive) = jax.lax.optimization_barrier(
+                track_chunk_strided(
+                    trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+                    bnd_box, bnd_conf, bnd_alive, opts.conf_thresh, s, Tc,
+                )
             )
-        )
+        else:
+            tb, tc_, ta, box_end, alive_end, tpl_end = jax.lax.optimization_barrier(
+                track_chunk(
+                    trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+                    opts.conf_thresh,
+                )
+            )
+            conf_end = tc_[:, -1]
+            bf_box = jnp.zeros((A, 4), jnp.float32)
+            bf_conf = jnp.zeros((A,), jnp.float32)
+            bf_alive = jnp.zeros((A,), bool)
 
         # --- device greedy seeding (host loop's stable-sort walk) ---
         best_scores = jnp.max(
@@ -419,8 +573,13 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
         # 1e-6 template diff → 6 px box drift by 30 frames). The SAME
         # _extract_templates_core (barriered here, jitted standalone in the
         # host engine) compiles bit-identically in both contexts.
+        # at track_stride > 1, feats holds SAMPLES only: snap the seed frame
+        # to its nearest real sample (template content + backtrack anchor),
+        # exactly like track_batch snaps anchors — the seed's box and its
+        # recorded frame stay the original ti
+        seed_ti_ex = _snap_sample(seed_ti, tc_valid, s) if s > 1 else seed_ti
         new_tmpl = jax.lax.optimization_barrier(
-            _extract_templates_core(feats, seed_ti, seed_box, trk_cfg)
+            _extract_templates_core(feats, seed_ti_ex, seed_box, trk_cfg)
         )
         scat = jnp.where(seed_ok, seed_slot, A)
         templates_x = templates_x.at[scat].set(
@@ -443,7 +602,7 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             anchor_boxes_x = jnp.zeros((A + 1, 4), jnp.float32)
             lane_on_x = jnp.zeros((A + 1,), bool)
             scat = jnp.where(seed_ok, seed_slot, A)
-            anchor_ts_x = anchor_ts_x.at[scat].set(Tw + seed_ti)
+            anchor_ts_x = anchor_ts_x.at[scat].set(Tw + seed_ti_ex)
             anchor_boxes_x = anchor_boxes_x.at[scat].set(seed_box)
             lane_on_x = lane_on_x.at[scat].set(seed_ok)
             bb, balive = jax.lax.optimization_barrier(
@@ -453,8 +612,8 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
                 )
             )
         else:
-            bb = jnp.zeros((A, 2 * Tc, 4), jnp.float32)
-            balive = jnp.zeros((A, 2 * Tc), bool)
+            bb = jnp.zeros((A, 2 * Ts, 4), jnp.float32)
+            balive = jnp.zeros((A, 2 * Ts), bool)
 
         # --- next-chunk carry (device-resident) ---
         last = tc_valid - 1
@@ -467,6 +626,13 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             keep[last],
             feats,
             jnp.asarray(True),
+            # scan-end snapshot (PRE-seeding): the left neighbor of the next
+            # chunk's boundary fill. A slot re-seeded this chunk has
+            # alive_end False here, so its boundary fill is gated off — the
+            # fill belongs to the slot's PREVIOUS occupant.
+            box_end,
+            conf_end,
+            alive_end,
         )
         halo_out = frames[last]
 
@@ -484,6 +650,9 @@ def make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts: StreamOptions):
             seed_ok=seed_ok,
             bb=bb,
             balive=balive,
+            bf_box=bf_box,
+            bf_conf=bf_conf,
+            bf_alive=bf_alive,
         )
         packed = jnp.concatenate(
             [outs[name].astype(jnp.float32).reshape(-1) for name, _ in out_spec]
@@ -526,12 +695,21 @@ def stream_video(
     C = opts.num_classes
     P = trk_cfg.template_pool
     Cf = trk_cfg.out_features
+    s = int(opts.track_stride)
+    if s > 1 and (s != 2 or opts.chunk % s):
+        raise ValueError("streaming track_stride supports 1 and 2; chunk must divide")
 
     slot_templates = jnp.zeros((A, P, P, Cf), jnp.float32)
     slot_boxes = jnp.zeros((A, 4), jnp.float32)
     slot_alive = jnp.zeros((A,), bool)
     slot_id = -np.ones(A, np.int64)  # global track ids per slot
     next_track_id = 0
+    # scan-end snapshot (pre-seeding) of the previous chunk — the left
+    # neighbor of the boundary fill at track_stride > 1
+    bnd_box = np.zeros((A, 4), np.float32)
+    bnd_conf = np.zeros((A,), np.float32)
+    bnd_alive = np.zeros((A,), bool)
+    pending = False  # a full chunk's last frame awaits its boundary fill
 
     all_boxes, all_scores, all_keep = [], [], []
     track_segments: dict[int, list] = {}
@@ -597,18 +775,50 @@ def stream_video(
             out_boxes, out_scores, out_keep = rois_j, cls_scores, keep
 
         # --- tracking: advance carried slots over this chunk ---
-        feats = tracker_features(trk_model, trk_params, frames_j)
-        tb, tc_, ta, box_end, alive_end, tpl_end = track_chunk(
-            trk_cfg, feats, slot_templates, slot_boxes, slot_alive, opts.conf_thresh
+        feats = tracker_features(
+            trk_model, trk_params, frames_j[::s] if s > 1 else frames_j
         )
+        if s > 1:
+            (tb, tc_, ta, box_end, conf_end, alive_end, tpl_end,
+             bf_box, bf_conf, bf_alive) = track_chunk_strided(
+                trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+                jnp.asarray(bnd_box), jnp.asarray(bnd_conf),
+                jnp.asarray(bnd_alive), opts.conf_thresh, s, opts.chunk,
+            )
+            # boundary fill: the PREVIOUS chunk's last frame, now that its
+            # right neighbor (this chunk's first sample) exists
+            if pending:
+                bf_box_np = np.asarray(bf_box)
+                bf_conf_np = np.asarray(bf_conf)
+                bf_alive_np = np.asarray(bf_alive)
+                for a in range(A):
+                    if bf_alive_np[a] and slot_id[a] >= 0:
+                        track_segments.setdefault(int(slot_id[a]), []).append(
+                            (t_global - 1, bf_box_np[a], float(bf_conf_np[a]))
+                        )
+            bnd_box = np.asarray(box_end)
+            bnd_conf = np.asarray(conf_end)
+            bnd_alive = np.asarray(alive_end)
+        else:
+            tb, tc_, ta, box_end, alive_end, tpl_end = track_chunk(
+                trk_cfg, feats, slot_templates, slot_boxes, slot_alive,
+                opts.conf_thresh,
+            )
         slot_boxes, slot_alive = box_end, alive_end
         slot_templates = tpl_end  # identity unless cfg.template_eta > 0
         tb_np, ta_np, tc_np = np.asarray(tb), np.asarray(ta), np.asarray(tc_)
+        # at track_stride > 1, a FULL chunk's last frame is pending (its
+        # interpolation needs the next chunk's first sample); it is emitted
+        # next chunk as the boundary fill, or held at end of stream
+        pend_local = opts.chunk - 1 if (s > 1 and Tc == opts.chunk) else None
+        pending = pend_local is not None
         for a in range(A):
             if slot_id[a] < 0:
                 continue
             seg = track_segments.setdefault(int(slot_id[a]), [])
             for i in range(Tc):
+                if i == pend_local:
+                    continue
                 if ta_np[a, i]:
                     seg.append((t_global + i, tb_np[a, i], float(tc_np[a, i])))
 
@@ -661,7 +871,9 @@ def stream_video(
             ti_arr = np.zeros(A, np.int32)
             bx_arr = np.zeros((A, 4), np.float32)
             for k, (a, ti, cand, _) in enumerate(seed_lanes):
-                ti_arr[k] = ti
+                # strided feats hold SAMPLES only: snap to the nearest real
+                # sample (same rule as the fused program / batch anchors)
+                ti_arr[k] = _snap_sample(ti, Tc, s) if s > 1 else ti
                 bx_arr[k] = cand
             tmpl = _extract_templates_batch(
                 feats, jnp.asarray(ti_arr), jnp.asarray(bx_arr), trk_cfg
@@ -671,7 +883,7 @@ def stream_video(
 
         # --- backward re-tracking of fresh seeds over the window ---
         if opts.backtrack and seed_lanes:
-            Tw = opts.chunk  # retained prev-chunk length
+            Tw = opts.chunk // s  # retained prev-chunk length, in SAMPLES
             window = (
                 jnp.concatenate([prev_feats, feats], axis=0)
                 if prev_feats is not None
@@ -681,11 +893,15 @@ def stream_video(
             anchor_boxes = np.zeros((A, 4), np.float32)
             lane_on = np.zeros(A, bool)
             lane_track = {}
+            lane_seed = {}
             for a, ti, box, tid in seed_lanes:
-                anchor_ts[a] = Tw + ti
+                anchor_ts[a] = Tw + (
+                    _snap_sample(ti, Tc, s) if s > 1 else ti
+                )
                 anchor_boxes[a] = box
                 lane_on[a] = True
                 lane_track[a] = tid
+                lane_seed[a] = (ti, box)
             bb, balive = backtrack_seeds(
                 trk_cfg, window, jnp.asarray(anchor_ts),
                 jnp.asarray(anchor_boxes), slot_templates,
@@ -694,14 +910,23 @@ def stream_video(
             bb_np, ba_np = np.asarray(bb), np.asarray(balive)
             for a, tid in lane_track.items():
                 seg = track_segments[tid]
-                for j in range(2 * opts.chunk):
-                    # window position j maps to global frame:
-                    #   j <  Tw: prev chunk frame (t_global - Tw + j)
-                    #   j >= Tw: current chunk frame (t_global + j - Tw)
-                    t_abs = (t_global - Tw) + j
-                    if not ba_np[a, j] or t_abs < 0:
-                        continue
-                    seg.append((t_abs, bb_np[a, j], 0.0))
+                if s > 1:
+                    ti, sbox = lane_seed[a]
+                    seg.extend(
+                        _backtrack_entries_strided(
+                            bb_np[a], ba_np[a], t_global, opts.chunk, s,
+                            ti, sbox,
+                        )
+                    )
+                else:
+                    for j in range(2 * opts.chunk):
+                        # window position j maps to global frame:
+                        #   j <  Tw: prev chunk frame (t_global - Tw + j)
+                        #   j >= Tw: current chunk frame (t_global + j - Tw)
+                        t_abs = (t_global - Tw) + j
+                        if not ba_np[a, j] or t_abs < 0:
+                            continue
+                        seg.append((t_abs, bb_np[a, j], 0.0))
                 seg.sort(key=lambda e: e[0])
 
         all_boxes.append(boxes_np[:Tc])
@@ -710,6 +935,14 @@ def stream_video(
         t_global += Tc
         prev_feats = feats
 
+    if pending:
+        # end of stream: the final full chunk's last frame has no right
+        # neighbor — hold the last sample (the batch stride end rule)
+        for a in range(A):
+            if bnd_alive[a] and slot_id[a] >= 0:
+                track_segments.setdefault(int(slot_id[a]), []).append(
+                    (t_global - 1, bnd_box[a].copy(), float(bnd_conf[a]))
+                )
     return _finalize_stream(
         all_boxes, all_scores, all_keep, track_segments, t_global, opts, metrics
     )
@@ -772,6 +1005,7 @@ def _stream_video_fused(
     metrics = StageMetrics("stream")
     A, R, C = opts.track_slots, opts.max_rois, opts.num_classes
     P, Cf = trk_cfg.template_pool, trk_cfg.out_features
+    s = int(opts.track_stride)
     step, unpack = make_stream_chunk_fn(det_model, trk_model, trk_cfg, opts)
 
     slot_id = -np.ones(A, np.int64)  # global track ids per slot
@@ -781,6 +1015,7 @@ def _stream_video_fused(
     t_global = 0
     carry = None
     halo = None
+    pending = False  # a full chunk's last frame awaits its boundary fill
 
     for chunk in frame_chunks:
         Tc = chunk.shape[0]
@@ -798,7 +1033,8 @@ def _stream_video_fused(
         frames_j = jnp.asarray(chunk)
         if carry is None:
             feat_s = jax.eval_shape(
-                lambda f: tracker_features(trk_model, trk_params, f), frames_j
+                lambda f: tracker_features(trk_model, trk_params, f),
+                frames_j[::s] if s > 1 else frames_j,
             )
             carry = (
                 jnp.zeros((A, P, P, Cf), jnp.float32),  # slot templates
@@ -809,6 +1045,9 @@ def _stream_video_fused(
                 jnp.zeros((C - 1, R), bool),  # prev last-frame keep
                 jnp.zeros(feat_s.shape, feat_s.dtype),  # prev chunk features
                 jnp.asarray(False),  # has_prev
+                jnp.zeros((A, 4), jnp.float32),  # scan-end boxes (boundary)
+                jnp.zeros((A,), jnp.float32),  # scan-end conf
+                jnp.zeros((A,), bool),  # scan-end alive
             )
             halo = frames_j[0]  # host loop: halo = chunk[:1] on first chunk
         carry, halo, packed = step(
@@ -817,18 +1056,32 @@ def _stream_video_fused(
         )
         out = unpack(np.asarray(packed))
 
+        # --- boundary fill: the PREVIOUS chunk's last frame (stride > 1) ---
+        if pending:
+            for a in range(A):
+                if out["bf_alive"][a] > 0.5 and slot_id[a] >= 0:
+                    track_segments.setdefault(int(slot_id[a]), []).append(
+                        (t_global - 1, out["bf_box"][a].copy(),
+                         float(out["bf_conf"][a]))
+                    )
+
         # --- carried-slot segments (exactly the host loop's bookkeeping) ---
         tb, ta, tcs = out["tb"], out["ta"] > 0.5, out["tc"]
+        pend_local = opts.chunk - 1 if (s > 1 and Tc == opts.chunk) else None
+        pending = pend_local is not None
         for a in range(A):
             if slot_id[a] < 0:
                 continue
             seg = track_segments.setdefault(int(slot_id[a]), [])
             for i in range(Tc):
+                if i == pend_local:
+                    continue
                 if ta[a, i]:
                     seg.append((t_global + i, tb[a, i], float(tcs[a, i])))
 
         # --- global track ids for this chunk's seeds, in scan (score) order ---
         seed_lane_track = {}
+        seed_lane_seed = {}
         for k in range(A):
             if out["seed_ok"][k] <= 0.5:
                 continue
@@ -840,18 +1093,29 @@ def _stream_video_fused(
                  float(out["seed_score"][k]))
             ]
             seed_lane_track[a] = next_track_id
+            seed_lane_seed[a] = (ti, out["seed_box"][k].copy())
             next_track_id += 1
 
         # --- attach backward re-tracked window entries to fresh seeds ---
         if opts.backtrack and seed_lane_track:
-            Tw = opts.chunk  # retained prev-chunk length
+            Tw = opts.chunk // s  # retained prev-chunk length, in SAMPLES
             for a, tid in seed_lane_track.items():
                 seg = track_segments[tid]
-                for j in range(2 * opts.chunk):
-                    t_abs = (t_global - Tw) + j
-                    if out["balive"][a, j] <= 0.5 or t_abs < 0:
-                        continue
-                    seg.append((t_abs, out["bb"][a, j], 0.0))
+                if s > 1:
+                    ti = int(seed_lane_seed[a][0])
+                    sbox = seed_lane_seed[a][1]
+                    seg.extend(
+                        _backtrack_entries_strided(
+                            out["bb"][a], out["balive"][a] > 0.5,
+                            t_global, opts.chunk, s, ti, sbox,
+                        )
+                    )
+                else:
+                    for j in range(2 * opts.chunk):
+                        t_abs = (t_global - Tw) + j
+                        if out["balive"][a, j] <= 0.5 or t_abs < 0:
+                            continue
+                        seg.append((t_abs, out["bb"][a, j], 0.0))
                 seg.sort(key=lambda e: e[0])
 
         all_boxes.append(out["out_boxes"][:Tc])
@@ -859,6 +1123,20 @@ def _stream_video_fused(
         all_keep.append(out["out_keep"][:Tc] > 0.5)
         t_global += Tc
 
+    if pending:
+        # end of stream: the final full chunk's last frame has no right
+        # neighbor — hold the scan-end sample (one small end-of-stream
+        # transfer of the boundary carry; the batch stride end rule). A slot
+        # re-seeded in the final chunk has scan-end alive False, so the hold
+        # never lands on the wrong occupant.
+        bnd_box = np.asarray(carry[8])
+        bnd_conf = np.asarray(carry[9])
+        bnd_alive = np.asarray(carry[10])
+        for a in range(A):
+            if bnd_alive[a] and slot_id[a] >= 0:
+                track_segments.setdefault(int(slot_id[a]), []).append(
+                    (t_global - 1, bnd_box[a].copy(), float(bnd_conf[a]))
+                )
     return _finalize_stream(
         all_boxes, all_scores, all_keep, track_segments, t_global, opts, metrics
     )
