@@ -18,7 +18,7 @@ import numpy as np
 
 from bench import A, B, C, H, R, T, W, build_inputs
 
-REPS = 4
+REPS = 8
 VS = (4, 8)
 
 
@@ -70,9 +70,15 @@ def main():
             t0 = time.perf_counter()
             float(run(*args))
             times[V].append(time.perf_counter() - t0)
+    import statistics
+
     for V in VS:
         dt = min(times[V])
-        print(f"V={V}: {dt * 1e3:7.1f} ms/dispatch, {V * T / dt:7.1f} fps")
+        dmed = statistics.median(times[V])
+        print(
+            f"V={V}: min {dt * 1e3:7.1f} ms/dispatch ({V * T / dt:7.1f} fps), "
+            f"median {dmed * 1e3:7.1f} ms ({V * T / dmed:7.1f} fps)"
+        )
 
 
 if __name__ == "__main__":

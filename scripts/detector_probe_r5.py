@@ -82,9 +82,19 @@ def main():
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing /tmp/ck_hard_<model>")
+    ap.add_argument("--tag", default=None,
+                    help="checkpoint/workdir suffix for RECIPE probes "
+                    "(round 5 tail: capacity is closed, recipes are the "
+                    "open direction) — e.g. --tag nv32")
+    ap.add_argument("--train_arg", action="append", default=[],
+                    help="extra train_detector flag, repeatable "
+                    "(e.g. --train_arg=--num_videos --train_arg=32)")
+    ap.add_argument("--datasets", default="yard,ho",
+                    help="comma subset of {yard,ho} to measure")
     args = ap.parse_args()
 
-    ck = f"/tmp/ck_hard_{args.model}"
+    tag = f"_{args.tag}" if args.tag else ""
+    ck = f"/tmp/ck_hard_{args.model}{tag}"
     for d in DATASETS.values():
         assert os.path.isdir(d), f"{d} missing — regenerate per RESULTS.md"
 
@@ -94,11 +104,11 @@ def main():
         proc, out, dt = sh(
             ["train_detector", ck, "--model", args.model,
              "--num_classes", str(NUM_CLASSES), "--steps", str(args.steps),
-             "--tier", "hard", "--eval_every", "100"],
+             "--tier", "hard", "--eval_every", "100"] + args.train_arg,
             timeout=7200,
         )
         best = re.findall(r"held-out mAP@0\.5 = ([\d.]+)", out)
-        row = {"stage": f"train_{args.model}", "wall_s": round(dt, 1),
+        row = {"stage": f"train_{args.model}{tag}", "wall_s": round(dt, 1),
                "heldout_curve": [float(x) for x in best]}
         if proc.returncode != 0:
             row["error"] = out[-800:]
@@ -111,13 +121,16 @@ def main():
                   "--num_classes", str(NUM_CLASSES),
                   "--max_rois", str(MAX_ROIS),
                   "--bg_decay", "0.7", "--boost", "mean", "--eval"]
-    for tag, data in DATASETS.items():
-        work = f"/tmp/dp5_{args.model}_{tag}"
+    wanted = set(args.datasets.split(","))
+    for ds, data in DATASETS.items():
+        if ds not in wanted:
+            continue
+        work = f"/tmp/dp5_{args.model}{tag}_{ds}"
         shutil.rmtree(work, ignore_errors=True)
         proc, out, dt = sh(["pipeline", data, work] + base_flags,
                            timeout=7200)
         m = re.search(r"mAP = ([\d.]+) over", out)
-        row = {"config": f"{args.model}_{tag}_full",
+        row = {"config": f"{args.model}{tag}_{ds}_full",
                "mAP": float(m.group(1)) if m else None,
                "wall_s": round(dt, 1)}
         if proc.returncode != 0 or not m:
@@ -126,7 +139,7 @@ def main():
         if proc.returncode != 0:
             continue
         pf, n = frame_nms_map(work, data)
-        print(json.dumps({"config": f"{args.model}_{tag}_perframe",
+        print(json.dumps({"config": f"{args.model}{tag}_{ds}_perframe",
                           "mAP": round(pf, 4), "videos": n}), flush=True)
     return 0
 

@@ -131,6 +131,38 @@ def test_training_reduces_loss(tiny_model):
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+def test_cosine_schedule_optimizer(tiny_model):
+    """make_optimizer(schedule="cosine") trains and actually decays the lr."""
+    import optax
+
+    model, params = tiny_model
+    sv = make_video(
+        SynthConfig(num_frames=8, height=IMAGE_HW[0], width=IMAGE_HW[1], seed=1)
+    )
+    from dataclasses import dataclass
+
+    @dataclass
+    class Opts:
+        batch_size: int = 2
+        max_rois: int = MAX_ROIS
+
+    with pytest.raises(AssertionError):
+        make_optimizer(1e-3, schedule="cosine")  # needs total_steps
+    tx = make_optimizer(1e-3, schedule="cosine", total_steps=20)
+    rng = np.random.default_rng(0)
+    state = init_train_state(model, jax.tree.map(jnp.copy, params), tx)
+    for _ in range(3):
+        batch = make_training_batch(sv, rng, Opts(), NUM_CLASSES)
+        state, aux = train_step(model, state, tx, batch)
+    assert np.isfinite(float(aux["loss"]))
+    # the schedule itself: warmup (1 step at total=20) then decay to lr/100
+    sched = optax.warmup_cosine_decay_schedule(
+        1e-4, 1e-3, warmup_steps=1, decay_steps=20, end_value=1e-5
+    )
+    assert float(sched(0)) < float(sched(1))
+    np.testing.assert_allclose(float(sched(20)), 1e-5, rtol=1e-5)
+
+
 def test_det_vid_end_to_end(tiny_model, tmp_path):
     """Config 2: vid_proto + box_proto → det_proto through the real stage."""
     model, params = tiny_model

@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     p.add_argument("--max_rois", type=int, default=64)
     p.add_argument("--image_hw", type=int, nargs=2, default=[240, 320])
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", default="const", choices=["const", "cosine"],
+                   help="cosine: 5%% warmup then cosine decay to lr/100 over "
+                   "--steps (for longer-schedule recipes)")
     p.add_argument("--num_videos", type=int, default=8)
     p.add_argument("--frames_per_video", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
@@ -107,7 +110,8 @@ def main(argv=None) -> int:
     h, w = args.image_hw
     cfg = detector_preset(args.model, num_classes=args.num_classes)
     model, params = init_detector(cfg, (h, w), max_rois=args.max_rois, seed=args.seed)
-    tx = make_optimizer(args.lr)
+    tx = make_optimizer(args.lr, schedule=args.lr_schedule,
+                        total_steps=args.steps)
     state = init_train_state(model, params, tx)
 
     class_coded = not args.no_class_coded

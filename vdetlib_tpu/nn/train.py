@@ -85,7 +85,28 @@ def detector_loss(scores, deltas, labels, bbox_targets, bbox_weight: float = 1.0
     }
 
 
-def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-4):
+def make_optimizer(
+    lr: float = 1e-3,
+    weight_decay: float = 1e-4,
+    schedule: str = "const",
+    total_steps: int = 0,
+):
+    """AdamW + global-norm clip; ``schedule="cosine"`` decays lr to lr/100
+    over ``total_steps`` after a 5% linear warmup (the round-5 recipe probe:
+    longer schedules need decay — the constant-lr 2400-step run measured
+    weaker held-out than 1200, RESULTS.md round 3)."""
+    if schedule == "cosine":
+        assert total_steps > 0, "cosine schedule needs total_steps"
+        warmup = max(1, total_steps // 20)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 10,
+            peak_value=lr,
+            warmup_steps=warmup,
+            decay_steps=total_steps,
+            end_value=lr / 100,
+        )
+    elif schedule != "const":
+        raise ValueError(f"unknown lr schedule: {schedule}")
     return optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.adamw(lr, weight_decay=weight_decay),
